@@ -1,0 +1,108 @@
+"""Render configuration.
+
+Replaces the reference's three-tier config (compile-time #defines +
+mutable globals + interactive stdin overrides, src/settings.hpp:13-62,
+src/main.cpp:195-234) with a single frozen dataclass. Defaults match
+src/settings.hpp exactly so the default workload is the reference's
+implicit benchmark (512x512, 50 spp, 50 bounces, tile 512).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+#: Space between the loaded model and the Cornell-box walls
+#: (ref: src/settings.hpp:52  CORNELL_BREATHING_ROOM).
+CORNELL_BREATHING_ROOM = 100.0
+
+#: Numeric epsilon used throughout the kernel (ref: src/Trace.cl:6).
+EPSILON = 1e-6
+
+#: Index of refraction of the surrounding medium (ref: src/Trace.cl:7).
+IOR_AIR = 1.0
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Knobs of a single render.
+
+    Field defaults mirror src/settings.hpp:23-50 and the camera/fov
+    set-up at src/main.cpp:299-304.
+    """
+
+    width: int = 512
+    height: int = 512
+    rays_per_pixel: int = 50
+    max_bounces: int = 50
+    tile_size: int = 512
+    object_path: str = "knight.obj"
+
+    #: Camera start pose (ref: src/settings.hpp:23-28).
+    camera_position: Tuple[float, float, float] = (0.0, 150.0, 250.0)
+    camera_pitch: float = 0.0
+    camera_yaw: float = 3.14
+    camera_roll: float = 0.0
+    fov_degrees: float = 90.0
+
+    #: ``"reference"`` reuses one RNG stream across all samples of a
+    #: pixel, bit-matching the reference spp loop (src/Trace.cl:639-642,
+    #: where the state threads through every sample sequentially).
+    #: ``"decorrelated"`` re-seeds each sample via MakeSeed(pixel, frame,
+    #: sample) so the sample axis becomes embarrassingly parallel and can
+    #: be sharded over chips (psum of radiance) — an intentional
+    #: improvement; MakeSeed already takes a rayIdx slot the reference
+    #: always passes 0 to (src/Trace.cl:632).
+    seed_mode: str = "reference"
+
+    #: Budget of extra loop iterations granted to Invisible-material
+    #: pass-throughs, which in the reference do NOT count as bounces and
+    #: make the bounce loop unbounded (src/Trace.cl:502-506). A masked
+    #: while_loop needs a hard trip cap; rays that exhaust the budget
+    #: terminate (they would have escaped the scene long before).
+    invisible_budget: int = 32
+
+    #: Number of video frames; 1 renders a single output.bmp
+    #: (ref: src/settings.hpp:55  VIDEO_FRAME_COUNT).
+    video_frame_count: int = 1
+    video_output_dir: str = "img"
+
+    #: Optional sub-pixel jitter. The reference casts ONE camera ray per
+    #: pixel and reuses it for every sample (src/Trace.cl:636-641) — no
+    #: anti-aliasing. Off by default for parity.
+    subpixel_jitter: bool = False
+
+    #: Triangle-count threshold below which a mesh is intersected by
+    #: brute force instead of BVH traversal. Dense all-pairs intersection
+    #: is branch-free and VPU-shaped, so it beats divergent traversal for
+    #: small meshes on TPU.
+    bruteforce_threshold: int = 4096
+
+    #: Pixels per ray-batch inside the integrator. Bounds peak HBM use
+    #: (each bounce keeps ~a dozen per-ray f32 lanes alive).
+    rays_per_batch: int = 65536
+
+    def __post_init__(self) -> None:
+        if self.seed_mode not in ("reference", "decorrelated"):
+            raise ValueError(f"unknown seed_mode: {self.seed_mode!r}")
+        if self.width <= 0 or self.height <= 0:
+            raise ValueError("image dimensions must be positive")
+        if self.rays_per_pixel <= 0:
+            raise ValueError("rays_per_pixel must be positive")
+        # Reference clamps tile size into [1, min(W, H)] (src/main.cpp:230-234).
+        object.__setattr__(
+            self, "tile_size", max(1, min(self.tile_size, self.width, self.height))
+        )
+
+    @property
+    def aspect_ratio(self) -> float:
+        return float(self.width) / float(self.height)
+
+    def tiles(self) -> Tuple[int, int]:
+        """Number of tiles (x, y), ceil-divided like src/main.cpp:678-684."""
+        tx = -(-self.width // self.tile_size)
+        ty = -(-self.height // self.tile_size)
+        return tx, ty
+
+    def replace(self, **kw) -> "RenderConfig":
+        return dataclasses.replace(self, **kw)

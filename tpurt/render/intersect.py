@@ -1,0 +1,512 @@
+"""Closest-hit scene intersection, vectorised over ray lanes.
+
+Reproduces the semantics of CalculateRayCollisionWithTriangle
+(src/Trace.cl:434-485): per mesh instance, transform the ray to local
+space (WorldToLocalRay, Trace.cl:118-137), find the closest triangle,
+reject OneSided backfaces, transform back (LocalToWorldHit,
+Trace.cl:139-156) and keep the strictly-closest world hit with earlier
+meshes winning ties.
+
+The HOW is TPU-native rather than a port of the reference's divergent
+per-thread traversal:
+
+  * **Triangle tests as tensor contractions.** Möller-Trumbore
+    (Trace.cl:276-317) is algebraically rewritten so every per-candidate
+    quantity is a dot product between a per-ray feature vector
+    (direction d, moment w = d x o, origin o) and a per-triangle
+    precomputed vector (e2 x e1, pa x e2, pa x e1, geometric normal):
+
+        det   =  d . (e2 x e1)
+        u_num =  d . (pa x e2) - w . e2
+        v_num =  w . e1        - d . (pa x e1)
+        t_num =  o . Ng        - pa . Ng
+
+    This is the Plücker/moment form of MT: a (rays x tris) sweep becomes
+    a handful of (R,3)x(3,C) contractions plus elementwise work — no
+    (R,C,3) cross-product temporaries, minimal HBM traffic. Smooth-
+    normal backfacing is likewise resolved from barycentric weights and
+    a per-triangle normal Gram table, so per-candidate normals are never
+    materialised; the winner's exact normal is recomputed once at the
+    end.
+
+  * **Stackless BVH walk.** Instead of a 64-entry per-thread stack
+    (Trace.cl:319-397) each ray carries one int32 cursor through a
+    depth-first threading (hit -> first child, miss/leaf-done -> skip
+    link), with the reference's distance pruning (skip a node whose
+    AABB entry distance is not closer than the current best,
+    Trace.cl:348-349).
+
+  * **Static-mesh fusion.** Instances with identity transforms (the 7
+    Cornell quads) are merged into one world-space brute-force sweep
+    with per-triangle cull/one-sided flags, collapsing 7 kernel passes
+    into 1.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from tpurt.config import EPSILON
+from tpurt.core.vecmath import (
+    cross3,
+    dot3,
+    euler_rotation,
+    length3,
+    normalize3,
+    rotate,
+    rotate_t,
+)
+from tpurt.scene.types import MaterialType, Scene
+
+_F32 = jnp.float32
+_INF = jnp.float32(np.inf)
+
+
+class Hit(NamedTuple):
+    """World-space closest hit per ray (HitInfo, Trace.cl:67-74, with
+    the material replaced by the winning mesh index)."""
+
+    valid: jnp.ndarray  # (R,) bool
+    dst: jnp.ndarray  # (R,) f32
+    point: jnp.ndarray  # (R, 3) f32
+    normal: jnp.ndarray  # (R, 3) f32
+    backface: jnp.ndarray  # (R,) bool
+    mesh_idx: jnp.ndarray  # (R,) i32 (-1 if none)
+
+
+class _LocalBest(NamedTuple):
+    t: jnp.ndarray  # (R,) f32 local-space distance, inf if none
+    tri: jnp.ndarray  # (R,) i32 winning triangle, -1 if none
+
+
+# ---------------------------------------------------------------------------
+# Möller–Trumbore
+# ---------------------------------------------------------------------------
+
+
+def _mt_single(ro, rd, pa, pb, pc, na, nb, nc, cull):
+    """Exact MT on paired rays/triangles, all (R, 3).
+
+    Returns (ok, t, normal, backface) following Trace.cl:276-317,
+    including the smooth-normal backface flip.
+    """
+    e1 = pb - pa
+    e2 = pc - pa
+    h = cross3(rd, e2)
+    det = dot3(e1, h)
+    ok = jnp.abs(det) >= EPSILON
+    f = 1.0 / det
+    s = ro - pa
+    u = f * dot3(s, h)
+    ok &= (u >= 0.0) & (u <= 1.0)
+    q = cross3(s, e1)
+    v = f * dot3(rd, q)
+    ok &= (v >= 0.0) & (u + v <= 1.0)
+    t = f * dot3(e2, q)
+    ok &= t > EPSILON
+    n = normalize3(
+        na * (1.0 - u - v)[..., None] + nb * u[..., None] + nc * v[..., None]
+    )
+    backface = dot3(rd, n) > EPSILON
+    ok &= ~(cull & backface)
+    n = jnp.where(backface[..., None], -n, n)
+    return ok, t, n, backface
+
+
+class _TriTable(NamedTuple):
+    """Per-triangle precomputes for the contraction-form MT sweep.
+    All shapes (C, 3) / (C,)."""
+
+    cross_e2e1: jnp.ndarray
+    cross_pae2: jnp.ndarray
+    cross_pae1: jnp.ndarray
+    ng: jnp.ndarray
+    d0: jnp.ndarray
+    e1: jnp.ndarray
+    e2: jnp.ndarray
+    na: jnp.ndarray
+    nb: jnp.ndarray
+    nc: jnp.ndarray
+    gram: jnp.ndarray  # (C, 6): naa, nbb, ncc, nab, nac, nbc
+    cull: jnp.ndarray  # (C,) bool — per-tri backface culling
+
+
+def _make_tri_table(scene: Scene, idx: jnp.ndarray, cull: jnp.ndarray) -> _TriTable:
+    pa = scene.tri_pos_a[idx]
+    pb = scene.tri_pos_b[idx]
+    pc = scene.tri_pos_c[idx]
+    na = scene.tri_nrm_a[idx]
+    nb = scene.tri_nrm_b[idx]
+    nc = scene.tri_nrm_c[idx]
+    e1 = pb - pa
+    e2 = pc - pa
+    ng = cross3(e1, e2)
+    gram = jnp.stack(
+        [
+            dot3(na, na), dot3(nb, nb), dot3(nc, nc),
+            dot3(na, nb), dot3(na, nc), dot3(nb, nc),
+        ],
+        axis=-1,
+    )
+    return _TriTable(
+        cross_e2e1=cross3(e2, e1),
+        cross_pae2=cross3(pa, e2),
+        cross_pae1=cross3(pa, e1),
+        ng=ng,
+        d0=dot3(pa, ng),
+        e1=e1,
+        e2=e2,
+        na=na,
+        nb=nb,
+        nc=nc,
+        gram=gram,
+        cull=jnp.broadcast_to(cull, pa.shape[:1]),
+    )
+
+
+def _mt_sweep(
+    ro: jnp.ndarray, rd: jnp.ndarray, table: _TriTable, best: _LocalBest,
+    tri_base: jnp.ndarray,
+) -> _LocalBest:
+    """Contraction-form MT of R rays against C candidate triangles;
+    folds the per-ray closest candidate into ``best``.
+
+    ``tri_base`` maps candidate column j to its global triangle id
+    (scalar offset or (C,) index array).
+    """
+    w = cross3(rd, ro)  # per-ray moment
+
+    def contract(vecs):  # (R,3) x (C,3) -> (R,C)
+        return jnp.einsum(
+            "rk,ck->rc", vecs[0], vecs[1], preferred_element_type=jnp.float32
+        )
+
+    det = contract((rd, table.cross_e2e1))
+    u_num = contract((rd, table.cross_pae2)) - contract((w, table.e2))
+    v_num = contract((w, table.e1)) - contract((rd, table.cross_pae1))
+    t_num = contract((ro, table.ng)) - table.d0[None, :]
+
+    f = 1.0 / det
+    u = u_num * f
+    v = v_num * f
+    t = t_num * f
+    ok = (jnp.abs(det) >= EPSILON) & (u >= 0.0) & (u <= 1.0)
+    ok &= (v >= 0.0) & (u + v <= 1.0) & (t > EPSILON)
+
+    # Backface from barycentric weights without materialising normals:
+    # dot(d, n_interp) and |n_interp| via the normal Gram table.
+    w0 = 1.0 - u - v
+    dn = (
+        w0 * contract((rd, table.na))
+        + u * contract((rd, table.nb))
+        + v * contract((rd, table.nc))
+    )
+    g = table.gram
+    n_len_sq = (
+        w0 * w0 * g[None, :, 0]
+        + u * u * g[None, :, 1]
+        + v * v * g[None, :, 2]
+        + 2.0 * (w0 * u * g[None, :, 3] + w0 * v * g[None, :, 4] + u * v * g[None, :, 5])
+    )
+    backface = dn > EPSILON * jnp.sqrt(jnp.maximum(n_len_sq, 0.0))
+    ok &= ~(table.cull[None, :] & backface)
+
+    t = jnp.where(ok, t, _INF)
+    j = jnp.argmin(t, axis=-1)
+    t_best = jnp.take_along_axis(t, j[:, None], axis=-1)[:, 0]
+    tri_id = (tri_base + j).astype(jnp.int32) if jnp.ndim(tri_base) == 0 else (
+        jnp.asarray(tri_base, jnp.int32)[j]
+    )
+    closer = t_best < best.t
+    return _LocalBest(
+        t=jnp.where(closer, t_best, best.t),
+        tri=jnp.where(closer, tri_id, best.tri),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Brute force over a static triangle range
+# ---------------------------------------------------------------------------
+
+
+def _bruteforce_range(
+    scene: Scene, ro, rd, first: int, count: int, cull, chunk: int = 2048
+) -> _LocalBest:
+    best = _LocalBest(
+        t=jnp.full(ro.shape[:-1], _INF, _F32),
+        tri=jnp.full(ro.shape[:-1], -1, jnp.int32),
+    )
+    for start in range(first, first + count, chunk):
+        n = min(chunk, first + count - start)
+        idx = jnp.arange(start, start + n)
+        table = _make_tri_table(scene, idx, cull)
+        best = _mt_sweep(ro, rd, table, best, jnp.int32(start))
+    return best
+
+
+def _bruteforce_indices(
+    scene: Scene, ro, rd, tri_idx: np.ndarray, cull_flags: jnp.ndarray,
+    chunk: int = 2048,
+) -> _LocalBest:
+    """Brute force over an arbitrary static triangle index list with
+    per-triangle (traced) cull flags — the fused static-mesh pass."""
+    best = _LocalBest(
+        t=jnp.full(ro.shape[:-1], _INF, _F32),
+        tri=jnp.full(ro.shape[:-1], -1, jnp.int32),
+    )
+    for start in range(0, len(tri_idx), chunk):
+        ids = jnp.asarray(tri_idx[start : start + chunk])
+        cull = cull_flags[start : start + chunk]
+        table = _make_tri_table(scene, ids, cull)
+        best = _mt_sweep(ro, rd, table, best, ids)
+    return best
+
+
+# ---------------------------------------------------------------------------
+# Threaded BVH traversal
+# ---------------------------------------------------------------------------
+
+
+def _aabb(ro, invd, bmin, bmax):
+    """Slab test (RayBoundingBox, Trace.cl:259-274): hit iff
+    tmax >= max(tmin, 0); also returns tmin as the entry distance."""
+    t0 = (bmin - ro) * invd
+    t1 = (bmax - ro) * invd
+    tsm = jnp.minimum(t0, t1)
+    tbg = jnp.maximum(t0, t1)
+    tmin = jnp.max(tsm, axis=-1)
+    tmax = jnp.min(tbg, axis=-1)
+    return tmax >= jnp.maximum(tmin, 0.0), tmin
+
+
+def _bvh_traverse(
+    scene: Scene, root: jnp.ndarray, ro, rd, cull, max_leaf: int
+) -> _LocalBest:
+    """Stackless threaded walk; one int32 cursor per ray lane."""
+    invd = 1.0 / rd
+    r = ro.shape[0]
+    cur = jnp.broadcast_to(jnp.asarray(root, jnp.int32), (r,))
+    best = _LocalBest(t=jnp.full((r,), _INF, _F32), tri=jnp.full((r,), -1, jnp.int32))
+
+    def cond(state):
+        cur, _ = state
+        return jnp.any(cur >= 0)
+
+    def body(state):
+        cur, best = state
+        active = cur >= 0
+        idx = jnp.maximum(cur, 0)
+        bmin = scene.node_min[idx]
+        bmax = scene.node_max[idx]
+        box_hit, tmin = _aabb(ro, invd, bmin, bmax)
+        # Distance pruning mirrors Trace.cl:348-349.
+        enter = active & box_hit & (tmin < best.t)
+        ntris = scene.node_ntris[idx]
+        nindex = scene.node_index[idx]
+        is_leaf = ntris > 0
+
+        # Leaf: masked scan of up to max_leaf triangles.
+        t_acc, tri_acc = best.t, best.tri
+        leaf_on = enter & is_leaf
+        for i in range(max_leaf):
+            live = leaf_on & (i < ntris)
+            tri = jnp.where(live, nindex + i, 0)
+            ok, t, _, _ = _mt_single(
+                ro, rd,
+                scene.tri_pos_a[tri], scene.tri_pos_b[tri], scene.tri_pos_c[tri],
+                scene.tri_nrm_a[tri], scene.tri_nrm_b[tri], scene.tri_nrm_c[tri],
+                cull,
+            )
+            win = live & ok & (t < t_acc)
+            t_acc = jnp.where(win, t, t_acc)
+            tri_acc = jnp.where(win, tri, tri_acc)
+
+        descend = enter & ~is_leaf
+        nxt = jnp.where(descend, scene.node_hit[idx], scene.node_miss[idx])
+        nxt = jnp.where(active, nxt, -1)
+        return nxt, _LocalBest(t=t_acc, tri=tri_acc)
+
+    _, best = lax.while_loop(cond, body, (cur, best))
+    return best
+
+
+# ---------------------------------------------------------------------------
+# Full scene
+# ---------------------------------------------------------------------------
+
+
+def _mesh_cull(scene: Scene, i) -> jnp.ndarray:
+    """Backface-cull policy: cull unless Glassy/Invisible/OneSided
+    (Trace.cl:460-462)."""
+    mt = scene.mat_type[i]
+    return (
+        (mt != int(MaterialType.GLASSY))
+        & (mt != int(MaterialType.INVISIBLE))
+        & (mt != int(MaterialType.ONE_SIDED))
+    )
+
+
+def intersect_scene(
+    scene: Scene,
+    ro: jnp.ndarray,
+    rd: jnp.ndarray,
+    bruteforce_threshold: int = 4096,
+) -> Hit:
+    """Closest hit of world rays (R, 3) against every mesh instance."""
+    r = ro.shape[0]
+    best = Hit(
+        valid=jnp.zeros((r,), bool),
+        dst=jnp.full((r,), _INF, _F32),
+        point=jnp.zeros((r, 3), _F32),
+        normal=jnp.zeros((r, 3), _F32),
+        backface=jnp.zeros((r,), bool),
+        mesh_idx=jnp.full((r,), -1, jnp.int32),
+    )
+
+    # Partition instances: fused identity-transform brute-force group vs
+    # individually transformed meshes. Static decision per mesh.
+    # OneSided meshes must keep per-mesh closest-hit semantics (their
+    # backface rejection happens after the mesh's own query,
+    # Trace.cl:466-471, and must not shadow other meshes' hits), so they
+    # always take the separate path.
+    fused, separate = [], []
+    for i, (first, count) in enumerate(scene.mesh_tri_ranges):
+        if (
+            scene.mesh_identity[i]
+            and count <= bruteforce_threshold
+            and scene.mesh_mat_types[i] != int(MaterialType.ONE_SIDED)
+        ):
+            fused.append(i)
+        else:
+            separate.append(i)
+
+    if fused:
+        tri_idx = np.concatenate(
+            [
+                np.arange(
+                    scene.mesh_tri_ranges[i][0],
+                    scene.mesh_tri_ranges[i][0] + scene.mesh_tri_ranges[i][1],
+                )
+                for i in fused
+            ]
+        )
+        owner = np.concatenate(
+            [np.full(scene.mesh_tri_ranges[i][1], i, np.int32) for i in fused]
+        )
+        if len(tri_idx):
+            best = _fused_identity_pass(scene, ro, rd, tri_idx, owner, best)
+
+    for i in separate:
+        best = _transformed_mesh_pass(scene, ro, rd, i, bruteforce_threshold, best)
+
+    return best
+
+
+def _finalize_local(scene, lo, ld, lb: _LocalBest, cull):
+    """Recompute the winner's exact normal/backface via one paired MT."""
+    tri = jnp.maximum(lb.tri, 0)
+    ok, t, n, backface = _mt_single(
+        lo, ld,
+        scene.tri_pos_a[tri], scene.tri_pos_b[tri], scene.tri_pos_c[tri],
+        scene.tri_nrm_a[tri], scene.tri_nrm_b[tri], scene.tri_nrm_c[tri],
+        cull,
+    )
+    valid = (lb.tri >= 0) & ok
+    point = lo + ld * lb.t[..., None]
+    return valid, point, n, backface
+
+
+def _fused_identity_pass(scene, ro, rd, tri_idx, owner, best: Hit) -> Hit:
+    # Per-triangle cull flag from the owning mesh's material.
+    owner_j = jnp.asarray(owner)
+    cull_flags_all = jax.vmap(lambda i: _mesh_cull(scene, i))(owner_j)
+    # WorldToLocalRay with identity transform still renormalises the
+    # direction (Trace.cl:130); replicate so distances match exactly.
+    ld = normalize3(rd)
+    lb = _bruteforce_indices(scene, ro, ld, tri_idx, cull_flags_all)
+
+    # The fused sweep applied per-tri culling already; recompute the
+    # winner's data with its own cull flag.
+    win_owner = jnp.where(lb.tri >= 0, owner_j[_searchsorted_map(tri_idx, lb.tri)], 0)
+    win_cull = jax.vmap(lambda i: _mesh_cull(scene, i))(win_owner)
+    valid, point, n, backface = _finalize_local(scene, ro, ld, lb, win_cull)
+
+    # OneSided backface rejection (Trace.cl:468-471).
+    one_sided = scene.mat_type[win_owner] == int(MaterialType.ONE_SIDED)
+    valid &= ~(one_sided & backface)
+
+    # LocalToWorldHit with identity transform: world dst recomputed from
+    # the hit point (Trace.cl:153).
+    n_world = normalize3(n)
+    dst = length3(point - ro)
+    closer = valid & (dst < best.dst)
+    return Hit(
+        valid=best.valid | closer,
+        dst=jnp.where(closer, dst, best.dst),
+        point=jnp.where(closer[..., None], point, best.point),
+        normal=jnp.where(closer[..., None], n_world, best.normal),
+        backface=jnp.where(closer, backface, best.backface),
+        mesh_idx=jnp.where(closer, win_owner.astype(jnp.int32), best.mesh_idx),
+    )
+
+
+def _searchsorted_map(tri_idx: np.ndarray, tri: jnp.ndarray) -> jnp.ndarray:
+    """Map a winning global triangle id back to its row in the fused
+    index list (tri_idx is static & sorted per construction)."""
+    order = np.argsort(tri_idx, kind="stable")
+    sorted_idx = tri_idx[order]
+    pos = jnp.searchsorted(jnp.asarray(sorted_idx), jnp.maximum(tri, 0))
+    pos = jnp.clip(pos, 0, len(tri_idx) - 1)
+    return jnp.asarray(order)[pos]
+
+
+def _transformed_mesh_pass(
+    scene, ro, rd, i: int, bruteforce_threshold: int, best: Hit
+) -> Hit:
+    first, count = scene.mesh_tri_ranges[i]
+    pos = scene.mesh_pos[i]
+    scale = scene.mesh_scale[i]
+    rot = euler_rotation(scene.mesh_pitch[i], scene.mesh_yaw[i], scene.mesh_roll[i])
+    cull = _mesh_cull(scene, i)
+
+    # WorldToLocalRay (Trace.cl:118-137): rotate by R^T, translate,
+    # divide by uniform scale (guarded), renormalise.
+    safe = jnp.where(jnp.abs(scale) > EPSILON, scale, _F32(1.0))
+    lo = rotate_t(rot, ro - pos) / safe
+    ld = normalize3(rotate_t(rot, rd) / safe)
+
+    if count <= bruteforce_threshold:
+        lb = _bruteforce_range(scene, lo, ld, first, count, cull)
+    else:
+        lb = _bvh_traverse(
+            scene, scene.mesh_root[i], lo, ld, cull, scene.max_leaf_tris
+        )
+
+    valid, point_l, n_l, backface = _finalize_local(scene, lo, ld, lb, cull)
+
+    # Degenerate-mesh skip (Trace.cl:448-449).
+    valid &= scale > EPSILON
+    # OneSided backface rejection (Trace.cl:468-471).
+    one_sided = scene.mat_type[i] == int(MaterialType.ONE_SIDED)
+    valid &= ~(one_sided & backface)
+
+    # LocalToWorldHit (Trace.cl:139-156).
+    point_w = rotate(rot, point_l * scale) + pos
+    n_w = normalize3(rotate(rot, n_l))
+    dst = length3(point_w - ro)
+
+    closer = valid & (dst < best.dst)
+    return Hit(
+        valid=best.valid | closer,
+        dst=jnp.where(closer, dst, best.dst),
+        point=jnp.where(closer[..., None], point_w, best.point),
+        normal=jnp.where(closer[..., None], n_w, best.normal),
+        backface=jnp.where(closer, backface, best.backface),
+        mesh_idx=jnp.where(closer, jnp.int32(i), best.mesh_idx),
+    )

@@ -1,0 +1,211 @@
+"""Frame renderer: camera rays, the sample loop, tile orchestration.
+
+The reference's raytrace kernel (src/Trace.cl:623-653) is per pixel:
+one camera ray, seed = MakeSeed(pixelIndex, frameIndex, 0), then
+``incomingRaysPerPixel`` sequential Trace() calls sharing the RNG
+stream. ``render_tile`` is its jit-compiled TPU counterpart over a
+whole pixel tile; ``render_frame`` is the host loop that replaces the
+work-queue scheduler (src/image.hpp:280-381) — on one chip tiles run
+sequentially under the same jit; multi-chip decomposition lives in
+tpurt.parallel.
+
+Seeds are pure functions of absolute pixel coordinates and frame index,
+so ANY tile decomposition renders bitwise identically — unlike the
+reference, whose per-tile/per-device seed arithmetic makes multi-GPU
+output differ from single-GPU (image.hpp:228,304).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from tpurt.config import RenderConfig
+from tpurt.core import rng as rnglib
+from tpurt.core.camera import Camera, make_ray, pixel_uv
+from tpurt.render.integrator import trace_paths
+from tpurt.render.tonemap import tonemap
+from tpurt.scene.types import Scene
+
+
+def _tile_pixel_coords(tile_h: int, tile_w: int, x0, y0):
+    """Absolute pixel coords of a tile, flattened row-major."""
+    ys = jnp.arange(tile_h, dtype=jnp.int32)[:, None] + jnp.int32(y0)
+    xs = jnp.arange(tile_w, dtype=jnp.int32)[None, :] + jnp.int32(x0)
+    ys = jnp.broadcast_to(ys, (tile_h, tile_w)).reshape(-1)
+    xs = jnp.broadcast_to(xs, (tile_h, tile_w)).reshape(-1)
+    return xs, ys
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "tile_h", "tile_w", "width", "height", "rays_per_pixel", "max_bounces",
+        "seed_mode", "invisible_budget", "bruteforce_threshold", "subpixel_jitter",
+    ),
+)
+def _render_tile_impl(
+    scene: Scene,
+    camera: Camera,
+    x0,
+    y0,
+    frame_index,
+    *,
+    tile_h: int,
+    tile_w: int,
+    width: int,
+    height: int,
+    rays_per_pixel: int,
+    max_bounces: int,
+    seed_mode: str,
+    invisible_budget: int,
+    bruteforce_threshold: int,
+    subpixel_jitter: bool,
+) -> jnp.ndarray:
+    xs, ys = _tile_pixel_coords(tile_h, tile_w, x0, y0)
+    pixel_index = ys.astype(jnp.uint32) * jnp.uint32(width) + xs.astype(jnp.uint32)
+
+    def camera_rays(sample_idx):
+        uv = pixel_uv(xs, ys, width, height)
+        if subpixel_jitter:
+            # Anti-aliasing jitter from an auxiliary stream (a capability
+            # the reference lacks — it reuses one ray for all samples,
+            # Trace.cl:636-641). Uses its own seed so the main stream is
+            # untouched.
+            jseed = rnglib.make_seed(
+                pixel_index ^ jnp.uint32(0xA511E9B3), frame_index, sample_idx
+            )
+            jseed, jx = rnglib.random_value(jseed)
+            jseed, jy = rnglib.random_value(jseed)
+            uv = uv + jnp.stack(
+                [(jx - 0.5) / width, (jy - 0.5) / height], axis=-1
+            )
+        return make_ray(camera, uv)
+
+    acc0 = jnp.zeros((tile_h * tile_w, 3), jnp.float32)
+
+    if seed_mode == "reference":
+        # One ray + one continuous stream shared by all samples
+        # (Trace.cl:632-642).
+        ro, rd = camera_rays(jnp.uint32(0))
+        state0 = rnglib.make_seed(pixel_index, frame_index, 0)
+
+        def body(_, carry):
+            acc, state = carry
+            light, state = trace_paths(
+                scene, ro, rd, state, max_bounces,
+                invisible_budget, bruteforce_threshold,
+            )
+            return acc + light, state
+
+        acc, _ = lax.fori_loop(0, rays_per_pixel, body, (acc0, state0))
+    else:
+        # Decorrelated per-sample streams: MakeSeed(pixel, frame, sample).
+        def body(s, acc):
+            ro, rd = camera_rays(s.astype(jnp.uint32))
+            state = rnglib.make_seed(pixel_index, frame_index, s.astype(jnp.uint32))
+            light, _ = trace_paths(
+                scene, ro, rd, state, max_bounces,
+                invisible_budget, bruteforce_threshold,
+            )
+            return acc + light
+
+        acc = lax.fori_loop(0, rays_per_pixel, body, acc0)
+
+    mean = acc / jnp.float32(rays_per_pixel)
+    return mean.reshape(tile_h, tile_w, 3)
+
+
+def render_tile(
+    scene: Scene,
+    camera: Camera,
+    cfg: RenderConfig,
+    x0: int = 0,
+    y0: int = 0,
+    tile_h: Optional[int] = None,
+    tile_w: Optional[int] = None,
+    frame_index: int = 0,
+) -> jnp.ndarray:
+    """Mean radiance of one tile, (tile_h, tile_w, 3) float32."""
+    tile_h = tile_h or min(cfg.tile_size, cfg.height)
+    tile_w = tile_w or min(cfg.tile_size, cfg.width)
+    return _render_tile_impl(
+        scene, camera,
+        jnp.int32(x0), jnp.int32(y0), jnp.int32(frame_index),
+        tile_h=tile_h, tile_w=tile_w,
+        width=cfg.width, height=cfg.height,
+        rays_per_pixel=cfg.rays_per_pixel, max_bounces=cfg.max_bounces,
+        seed_mode=cfg.seed_mode, invisible_budget=cfg.invisible_budget,
+        bruteforce_threshold=cfg.bruteforce_threshold,
+        subpixel_jitter=cfg.subpixel_jitter,
+    )
+
+
+def render_frame(
+    scene: Scene,
+    camera: Camera,
+    cfg: RenderConfig,
+    frame_index: int = 0,
+    progress=None,
+    accumulator=None,
+) -> np.ndarray:
+    """Full-frame mean radiance (H, W, 3) float32, single chip.
+
+    Tiles are swept row-major like singleThreadedCompute
+    (image.hpp:352-381); edge tiles are rendered at full tile shape and
+    cropped (static shapes keep one compiled executable per frame).
+    ``progress(done, total)`` is invoked per tile; ``accumulator`` (an
+    io.checkpoint.TileAccumulator) receives finished tiles for
+    resume/preview support.
+    """
+    ts = cfg.tile_size
+    tiles_x, tiles_y = cfg.tiles()
+    out = np.zeros((cfg.height, cfg.width, 3), np.float32)
+    done = 0
+    for ty in range(tiles_y):
+        for tx in range(tiles_x):
+            if accumulator is not None and accumulator.has_tile(tx, ty):
+                out_tile = accumulator.get_tile(tx, ty)
+                h = min(ts, cfg.height - ty * ts)
+                w = min(ts, cfg.width - tx * ts)
+                out[ty * ts : ty * ts + h, tx * ts : tx * ts + w] = out_tile[:h, :w]
+                done += 1
+                if progress is not None:
+                    progress(done, tiles_x * tiles_y)
+                continue
+            tile = render_tile(
+                scene, camera, cfg,
+                x0=tx * ts, y0=ty * ts, tile_h=ts, tile_w=ts,
+                frame_index=frame_index,
+            )
+            tile_np = np.asarray(tile)
+            h = min(ts, cfg.height - ty * ts)
+            w = min(ts, cfg.width - tx * ts)
+            out[ty * ts : ty * ts + h, tx * ts : tx * ts + w] = tile_np[:h, :w]
+            if accumulator is not None:
+                accumulator.put_tile(tx, ty, tile_np)
+            done += 1
+            if progress is not None:
+                progress(done, tiles_x * tiles_y)
+    return out
+
+
+def render_image(
+    scene: Scene,
+    camera: Camera,
+    cfg: RenderConfig,
+    frame_index: int = 0,
+    progress=None,
+    accumulator=None,
+) -> np.ndarray:
+    """Full pipeline to display pixels (H, W, 3) uint8."""
+    radiance = render_frame(
+        scene, camera, cfg, frame_index, progress=progress, accumulator=accumulator
+    )
+    return np.asarray(tonemap(jnp.asarray(radiance)))

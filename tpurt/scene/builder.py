@@ -1,0 +1,302 @@
+"""SceneBuilder: host-side scene assembly -> frozen device Scene.
+
+Replaces the reference's mutable globals (meshList / triangleList /
+nodeList, src/readobj.hpp:91-94) and its scene-assembly helpers:
+
+  * ``load_obj``         — loadMeshFromOBJFile (readobj.hpp:270-376),
+                           including the per-file mesh cache (fixed: the
+                           reference caches the wrong index space,
+                           readobj.hpp:272-274);
+  * ``add_quad``         — addQuad (readobj.hpp:378-408);
+  * ``add_cornell_box``  — addCornellBoxToScene (image.hpp:401-449),
+                           geometry and materials reproduced exactly;
+  * ``freeze``           — the generateBuffers upload (image.hpp:97-175),
+                           but to SoA jnp arrays plus threaded BVH links.
+
+Mesh ordering matters for closest-hit tie-breaking and is preserved: the
+driver appends the 7 Cornell quads first and the model mesh last
+(main.cpp:272,298).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from tpurt.accel.bvh import BVHNodes, build_bvh, bvh_stats, thread_links
+from tpurt.config import CORNELL_BREATHING_ROOM
+from tpurt.scene.obj import load_obj as _load_obj_file
+from tpurt.scene.obj import parse_obj
+from tpurt.scene.types import MaterialType, Scene
+
+
+@dataclasses.dataclass
+class Material:
+    """Host-side RayTracingMaterial (src/readobj.hpp:48-56). Defaults
+    mirror the C++ member initialisers (ior = 1, rest zero)."""
+
+    type: MaterialType = MaterialType.SOLID
+    ior: float = 1.0
+    color: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    emission_color: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    emission_strength: float = 0.0
+    reflectiveness: float = 0.0
+    specular_probability: float = 0.0
+
+
+@dataclasses.dataclass
+class MeshHandle:
+    """Host-side MeshInfo (src/readobj.hpp:75-81); mutable until the
+    builder freezes."""
+
+    node_idx: int
+    pos: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    pitch: float = 0.0
+    yaw: float = 0.0
+    roll: float = 0.0
+    scale: float = 1.0
+    material: Material = dataclasses.field(default_factory=Material)
+    # Triangle range of the geometry this handle points at (for the
+    # brute-force intersector; instances sharing geometry share it).
+    first_tri: int = 0
+    num_tris: int = 0
+
+
+class SceneBuilder:
+    def __init__(self) -> None:
+        self._tri_pos: List[np.ndarray] = []  # (n, 3, 3) chunks
+        self._tri_nrm: List[np.ndarray] = []
+        self._num_tris = 0
+        self.nodes = BVHNodes.empty()
+        self.meshes: List[MeshHandle] = []
+        self._mesh_cache: Dict[str, Tuple[int, int, int]] = {}
+
+    # -- geometry ---------------------------------------------------------
+
+    def _append_tris(self, pos: np.ndarray, nrm: np.ndarray) -> int:
+        first = self._num_tris
+        self._tri_pos.append(np.asarray(pos, np.float32).reshape(-1, 3, 3))
+        self._tri_nrm.append(np.asarray(nrm, np.float32).reshape(-1, 3, 3))
+        self._num_tris += self._tri_pos[-1].shape[0]
+        return first
+
+    def _consolidate(self) -> Tuple[np.ndarray, np.ndarray]:
+        if len(self._tri_pos) != 1:
+            self._tri_pos = [
+                np.concatenate(self._tri_pos, 0)
+                if self._tri_pos
+                else np.zeros((0, 3, 3), np.float32)
+            ]
+            self._tri_nrm = [
+                np.concatenate(self._tri_nrm, 0)
+                if self._tri_nrm
+                else np.zeros((0, 3, 3), np.float32)
+            ]
+        return self._tri_pos[0], self._tri_nrm[0]
+
+    def add_triangles(
+        self, pos: np.ndarray, nrm: np.ndarray, max_depth: int = 64
+    ) -> MeshHandle:
+        """Append a triangle soup, build its BVH, return an (un-added)
+        handle with the reference's default OBJ material (white Solid,
+        readobj.hpp:369-375)."""
+        pos = np.asarray(pos, np.float32).reshape(-1, 3, 3)
+        nrm = np.asarray(nrm, np.float32).reshape(-1, 3, 3)
+        first = self._append_tris(pos, nrm)
+        tri_pos, tri_nrm = self._consolidate()
+        root = build_bvh(self.nodes, tri_pos, tri_nrm, first, pos.shape[0], max_depth)
+        return MeshHandle(
+            node_idx=root,
+            material=Material(type=MaterialType.SOLID, color=(1.0, 1.0, 1.0)),
+            first_tri=first,
+            num_tris=pos.shape[0],
+        )
+
+    def load_obj(self, path: str) -> MeshHandle:
+        """loadMeshFromOBJFile semantics incl. the per-file cache: a
+        repeat load returns a fresh handle sharing the existing geometry
+        and BVH (the reference intended this but cached a triangle index
+        as a node index, readobj.hpp:272-274)."""
+        if path in self._mesh_cache:
+            root, first, num = self._mesh_cache[path]
+            return MeshHandle(
+                node_idx=root,
+                material=Material(type=MaterialType.SOLID, color=(1.0, 1.0, 1.0)),
+                first_tri=first,
+                num_tris=num,
+            )
+        pos, nrm = _load_obj_file(path)
+        handle = self.add_triangles(pos, nrm, max_depth=64)
+        self._mesh_cache[path] = (handle.node_idx, handle.first_tri, handle.num_tris)
+        return handle
+
+    def load_obj_text(self, text: str) -> MeshHandle:
+        pos, nrm = parse_obj(text)
+        return self.add_triangles(pos, nrm, max_depth=64)
+
+    # -- instances --------------------------------------------------------
+
+    def add_mesh(self, handle: MeshHandle) -> int:
+        """Append an instance to the scene (meshList.emplace_back)."""
+        self.meshes.append(handle)
+        return len(self.meshes) - 1
+
+    def add_quad(self, a, b, c, d, normal, color) -> MeshHandle:
+        """addQuad (readobj.hpp:378-408): two triangles (a,b,c), (a,c,d)
+        with a constant normal, identity transform, Solid material of the
+        given color; appended to the scene immediately."""
+        a, b, c, d = (np.asarray(v, np.float32) for v in (a, b, c, d))
+        normal = np.asarray(normal, np.float32)
+        pos = np.stack([np.stack([a, b, c]), np.stack([a, c, d])])
+        nrm = np.broadcast_to(normal, (2, 3, 3)).copy()
+        first = self._append_tris(pos, nrm)
+        tri_pos, tri_nrm = self._consolidate()
+        # SplitBVH default depth 10; a no-op at 2 triangles (readobj.hpp:392).
+        root = build_bvh(self.nodes, tri_pos, tri_nrm, first, 2, max_depth=10)
+        handle = MeshHandle(
+            node_idx=root,
+            material=Material(type=MaterialType.SOLID, color=tuple(map(float, color))),
+            first_tri=first,
+            num_tris=2,
+        )
+        self.add_mesh(handle)
+        return handle
+
+    def add_cornell_box(self, mesh: MeshHandle) -> None:
+        """addCornellBoxToScene (image.hpp:401-449): box sized from the
+        mesh's scaled root bounds with CORNELL_BREATHING_ROOM slack on
+        every side except the floor (so the model touches it), plus an
+        emissive light quad just below the ceiling."""
+        room = CORNELL_BREATHING_ROOM
+        bmin = self.nodes.bmin[mesh.node_idx] * np.float32(mesh.scale)
+        bmax = self.nodes.bmax[mesh.node_idx] * np.float32(mesh.scale)
+        min_x, max_x = bmin[0] - room, bmax[0] + room
+        min_y, max_y = bmin[1], bmax[1] + room  # floor not lowered (image.hpp:406)
+        min_z, max_z = bmin[2] - room, bmax[2] + room
+
+        # Floor (image.hpp:411-421): dark, specularProbability 1.
+        floor = self.add_quad(
+            (min_x, min_y, min_z), (max_x, min_y, min_z),
+            (max_x, min_y, max_z), (min_x, min_y, max_z),
+            (0, 1, 0), (0.1, 0.1, 0.1),
+        )
+        floor.material = Material(
+            type=MaterialType.SOLID, ior=1.0, color=(0.1, 0.1, 0.1),
+            specular_probability=1.0,
+        )
+        # Ceiling, white (image.hpp:424).
+        self.add_quad(
+            (min_x, max_y, min_z), (max_x, max_y, min_z),
+            (max_x, max_y, max_z), (min_x, max_y, max_z),
+            (0, -1, 0), (1.0, 1.0, 1.0),
+        )
+        # Front wall, white, one-sided so the camera sees in (image.hpp:427-428).
+        front = self.add_quad(
+            (min_x, min_y, max_z), (max_x, min_y, max_z),
+            (max_x, max_y, max_z), (min_x, max_y, max_z),
+            (0, 0, -1), (1.0, 1.0, 1.0),
+        )
+        front.material.type = MaterialType.ONE_SIDED
+        # Back wall, green (image.hpp:432).
+        self.add_quad(
+            (min_x, min_y, min_z), (max_x, min_y, min_z),
+            (max_x, max_y, min_z), (min_x, max_y, min_z),
+            (0, 0, 1), (0.1, 0.8, 0.1),
+        )
+        # Left wall, blue (image.hpp:435).
+        self.add_quad(
+            (min_x, min_y, min_z), (min_x, min_y, max_z),
+            (min_x, max_y, max_z), (min_x, max_y, min_z),
+            (1, 0, 0), (0.1, 0.1, 1.0),
+        )
+        # Right wall, red (image.hpp:438).
+        self.add_quad(
+            (max_x, min_y, min_z), (max_x, min_y, max_z),
+            (max_x, max_y, max_z), (max_x, max_y, min_z),
+            (-1, 0, 0), (1.0, 0.2, 0.2),
+        )
+        # Ceiling light (image.hpp:441-448).
+        lx, lz, ly = 50.0, 50.0, max_y - 1.0
+        light = self.add_quad(
+            (-lx, ly, -lz), (lx, ly, -lz), (lx, ly, lz), (-lx, ly, lz),
+            (0, -1, 0), (0.0, 0.0, 0.0),
+        )
+        light.material = Material(
+            type=MaterialType.SOLID, ior=1.0, color=(1.0, 1.0, 1.0),
+            emission_color=(1.0, 1.0, 1.0), emission_strength=8.0,
+            specular_probability=1.0,
+        )
+
+    # -- freeze -----------------------------------------------------------
+
+    def freeze(self) -> Scene:
+        """Flatten to the device Scene (the analog of generateBuffers,
+        image.hpp:97-175, including the Node -> GPUNode compression:
+        index = childIndex if internal else firstTriangleIdx,
+        image.hpp:116-128)."""
+        import jax.numpy as jnp
+
+        tri_pos, tri_nrm = self._consolidate()
+        bmin, bmax, child, first, ntris = self.nodes.as_arrays()
+        index = np.where(ntris == 0, child, first).astype(np.int32)
+
+        roots = [m.node_idx for m in self.meshes]
+        hit, miss = thread_links(child, ntris, sorted(set(roots)))
+
+        k = len(self.meshes)
+        mesh_root = np.asarray(roots, np.int32)
+        mesh_pos = np.asarray([m.pos for m in self.meshes], np.float32).reshape(k, 3)
+        f32 = lambda get: np.asarray([get(m) for m in self.meshes], np.float32)
+        mats = [m.material for m in self.meshes]
+
+        max_leaf = int(ntris.max()) if len(ntris) else 0
+        scene = Scene(
+            tri_pos_a=jnp.asarray(tri_pos[:, 0]),
+            tri_pos_b=jnp.asarray(tri_pos[:, 1]),
+            tri_pos_c=jnp.asarray(tri_pos[:, 2]),
+            tri_nrm_a=jnp.asarray(tri_nrm[:, 0]),
+            tri_nrm_b=jnp.asarray(tri_nrm[:, 1]),
+            tri_nrm_c=jnp.asarray(tri_nrm[:, 2]),
+            node_min=jnp.asarray(bmin),
+            node_max=jnp.asarray(bmax),
+            node_index=jnp.asarray(index),
+            node_ntris=jnp.asarray(ntris.astype(np.int32)),
+            node_hit=jnp.asarray(hit),
+            node_miss=jnp.asarray(miss),
+            mesh_root=jnp.asarray(mesh_root),
+            mesh_pos=jnp.asarray(mesh_pos),
+            mesh_pitch=jnp.asarray(f32(lambda m: m.pitch)),
+            mesh_yaw=jnp.asarray(f32(lambda m: m.yaw)),
+            mesh_roll=jnp.asarray(f32(lambda m: m.roll)),
+            mesh_scale=jnp.asarray(f32(lambda m: m.scale)),
+            mat_type=jnp.asarray([int(m.type) for m in mats], jnp.int32),
+            mat_ior=jnp.asarray([m.ior for m in mats], jnp.float32),
+            mat_color=jnp.asarray([m.color for m in mats], jnp.float32).reshape(k, 3),
+            mat_emission_color=jnp.asarray(
+                [m.emission_color for m in mats], jnp.float32
+            ).reshape(k, 3),
+            mat_emission_strength=jnp.asarray(
+                [m.emission_strength for m in mats], jnp.float32
+            ),
+            mat_reflectiveness=jnp.asarray(
+                [m.reflectiveness for m in mats], jnp.float32
+            ),
+            mat_specular_prob=jnp.asarray(
+                [m.specular_probability for m in mats], jnp.float32
+            ),
+            max_leaf_tris=max(max_leaf, 1),
+            mesh_tri_ranges=tuple((m.first_tri, m.num_tris) for m in self.meshes),
+            mesh_mat_types=tuple(int(m.material.type) for m in self.meshes),
+            mesh_identity=tuple(
+                tuple(np.asarray(m.pos, np.float64).tolist()) == (0.0, 0.0, 0.0)
+                and float(m.pitch) == 0.0 and float(m.yaw) == 0.0
+                and float(m.roll) == 0.0 and float(m.scale) == 1.0
+                for m in self.meshes
+            ),
+        )
+        return scene
+
+    def stats(self, handle: MeshHandle) -> dict:
+        return bvh_stats(self.nodes, handle.node_idx)

@@ -1,0 +1,70 @@
+"""Canonical scenes, including the reference's default workload.
+
+``default_scene`` reproduces the live driver path of src/main.cpp:
+load the OBJ (or a procedural stand-in — the reference ships no
+assets), override its material to white Solid with specularProbability
+1 and scale 0.5 (main.cpp:256-266), wrap it in the Cornell box
+(main.cpp:272), append the model LAST (main.cpp:298), and aim the
+camera from settings.hpp:23-28 with fov 90 (main.cpp:299-304).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+
+from tpurt.config import RenderConfig
+from tpurt.core.camera import Camera
+from tpurt.scene import procedural
+from tpurt.scene.builder import Material, MeshHandle, SceneBuilder
+from tpurt.scene.types import MaterialType, Scene
+
+
+def _model_for(builder: SceneBuilder, cfg: RenderConfig) -> MeshHandle:
+    path = cfg.object_path
+    if path and os.path.exists(path):
+        return builder.load_obj(path)
+    # Procedural stand-ins when no OBJ is on disk, keyed by name.
+    name = os.path.splitext(os.path.basename(path or ""))[0]
+    if name in ("knot", "torus_knot"):
+        pos, nrm = procedural.torus_knot(segments=192, sides=24, radius=80.0, tube=22.0)
+    elif name.startswith("sphere"):
+        sub = int(name[len("sphere"):] or 3)
+        pos, nrm = procedural.icosphere(subdivisions=sub, radius=100.0)
+    else:  # default stand-in for knight.obj: mid-poly sphere
+        pos, nrm = procedural.icosphere(subdivisions=3, radius=100.0)
+    return builder.add_triangles(pos, nrm)
+
+
+def default_scene(
+    cfg: Optional[RenderConfig] = None,
+) -> Tuple[Scene, Camera, SceneBuilder]:
+    cfg = cfg or RenderConfig()
+    b = SceneBuilder()
+    mesh = _model_for(b, cfg)
+    # Driver material override + scale (main.cpp:256-266).
+    mesh.material = Material(
+        type=MaterialType.SOLID, ior=1.0, color=(1.0, 1.0, 1.0),
+        specular_probability=1.0,
+    )
+    mesh.scale = 0.5
+    b.add_cornell_box(mesh)
+    b.add_mesh(mesh)  # model appended after the box (main.cpp:298)
+    scene = b.freeze()
+    cam = Camera.create(
+        position=cfg.camera_position,
+        pitch=cfg.camera_pitch, yaw=cfg.camera_yaw, roll=cfg.camera_roll,
+        fov_degrees=cfg.fov_degrees, aspect_ratio=cfg.aspect_ratio,
+    )
+    return scene, cam, b
+
+
+def cornell_sphere_scene(
+    subdivisions: int = 2, cfg: Optional[RenderConfig] = None
+) -> Tuple[Scene, Camera, SceneBuilder]:
+    """Small parametric variant used by tests: Cornell box around an
+    icosphere."""
+    cfg = (cfg or RenderConfig()).replace(object_path=f"sphere{subdivisions}.obj")
+    return default_scene(cfg)

@@ -1,0 +1,117 @@
+"""Scene representation: immutable struct-of-arrays pytrees.
+
+The reference keeps the scene in mutable host globals — ``meshList``,
+``triangleList``, ``nodeList`` (src/readobj.hpp:91-94) — uploaded to
+per-device OpenCL buffers (src/image.hpp:97-175) as arrays of padded
+structs (float3 == float4, 16 B). The TPU design dissolves those structs
+into struct-of-arrays jnp fields: each float3 member becomes an (N, 3)
+float32 array, so VPU lanes stream each component contiguously and no
+padding semantics leak into goldens.
+
+``Scene`` is a flax.struct dataclass: array fields are pytree leaves
+(donatable, shardable), while static metadata (max leaf size, per-mesh
+triangle ranges) rides in the treedef so jit specialises on it.
+
+Material enum values mirror MaterialType (src/Trace.cl:28-34).
+"""
+
+from __future__ import annotations
+
+import enum
+from typing import Tuple
+
+import jax.numpy as jnp
+from flax import struct
+
+
+class MaterialType(enum.IntEnum):
+    """MaterialType (Trace.cl:28-34)."""
+
+    SOLID = 0
+    CHECKER = 1
+    INVISIBLE = 2
+    GLASSY = 3
+    ONE_SIDED = 4
+
+
+@struct.dataclass
+class Scene:
+    """Frozen device-side scene.
+
+    Triangles (T of them) and BVH nodes (M) are shared by all mesh
+    instances; each of the K meshes references a BVH root plus a TRS
+    transform and a material, mirroring MeshInfo (Trace.cl:59-65).
+    """
+
+    # Triangle soup: vertex positions and smooth vertex normals.
+    tri_pos_a: jnp.ndarray  # (T, 3) f32
+    tri_pos_b: jnp.ndarray
+    tri_pos_c: jnp.ndarray
+    tri_nrm_a: jnp.ndarray
+    tri_nrm_b: jnp.ndarray
+    tri_nrm_c: jnp.ndarray
+
+    # Flat BVH (GPUNode semantics, src/readobj.hpp:27-31): ``index`` is
+    # the first-triangle index for leaves and the first-child index for
+    # internal nodes; siblings are adjacent (childIndex, childIndex+1).
+    node_min: jnp.ndarray  # (M, 3) f32
+    node_max: jnp.ndarray  # (M, 3) f32
+    node_index: jnp.ndarray  # (M,) i32
+    node_ntris: jnp.ndarray  # (M,) i32  (0 => internal node)
+
+    # Threaded (stackless) traversal links, precomputed per mesh subtree:
+    # on AABB hit of an internal node continue at node_hit (= first
+    # child); on miss or after a leaf continue at node_miss; -1 ends the
+    # walk. A TPU-first replacement for the reference's per-thread
+    # 64-entry traversal stack (Trace.cl:319-397).
+    node_hit: jnp.ndarray  # (M,) i32
+    node_miss: jnp.ndarray  # (M,) i32
+
+    # Mesh instances (K).
+    mesh_root: jnp.ndarray  # (K,) i32 BVH root node per mesh
+    mesh_pos: jnp.ndarray  # (K, 3) f32
+    mesh_pitch: jnp.ndarray  # (K,) f32
+    mesh_yaw: jnp.ndarray
+    mesh_roll: jnp.ndarray
+    mesh_scale: jnp.ndarray
+
+    # Materials, one per mesh (RayTracingMaterial, Trace.cl:36-45).
+    mat_type: jnp.ndarray  # (K,) i32
+    mat_ior: jnp.ndarray  # (K,) f32
+    mat_color: jnp.ndarray  # (K, 3) f32
+    mat_emission_color: jnp.ndarray  # (K, 3) f32
+    mat_emission_strength: jnp.ndarray  # (K,) f32
+    mat_reflectiveness: jnp.ndarray  # (K,) f32
+    mat_specular_prob: jnp.ndarray  # (K,) f32
+
+    # --- static metadata (part of the treedef, jit-specialised) ---
+    #: Largest leaf size across all BVHs; bounds the masked leaf loop.
+    max_leaf_tris: int = struct.field(pytree_node=False, default=2)
+    #: (first_tri, num_tris) per mesh — lets the integrator brute-force
+    #: small meshes over a static triangle range.
+    mesh_tri_ranges: Tuple[Tuple[int, int], ...] = struct.field(
+        pytree_node=False, default=()
+    )
+    #: Material type per mesh as known at freeze time (static mirror of
+    #: mat_type, used only to ROUTE meshes between the fused sweep and
+    #: the per-mesh path — OneSided meshes need per-mesh closest-hit
+    #: semantics: the reference rejects a OneSided mesh's contribution
+    #: only after that mesh's own query, Trace.cl:466-471).
+    mesh_mat_types: Tuple[int, ...] = struct.field(pytree_node=False, default=())
+    #: True where the instance transform was identity at freeze time
+    #: (pos=0, angles=0, scale=1 — e.g. the Cornell quads, which addQuad
+    #: leaves untransformed, readobj.hpp:393). The intersector fuses all
+    #: identity small meshes into one world-space brute-force sweep.
+    mesh_identity: Tuple[bool, ...] = struct.field(pytree_node=False, default=())
+
+    @property
+    def num_triangles(self) -> int:
+        return self.tri_pos_a.shape[0]
+
+    @property
+    def num_nodes(self) -> int:
+        return self.node_index.shape[0]
+
+    @property
+    def num_meshes(self) -> int:
+        return self.mesh_root.shape[0]
