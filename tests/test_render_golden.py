@@ -1,0 +1,125 @@
+"""Golden renders: the framework must match the independent scalar
+oracle BITWISE on CPU in seed_mode='reference' (the oracle transcribes
+src/Trace.cl literally; see tests/oracle.py)."""
+
+import numpy as np
+import pytest
+
+import oracle
+from tpurt.config import RenderConfig
+from tpurt.core.camera import Camera
+from tpurt.render.renderer import render_frame, render_image
+from tpurt.scene import procedural
+from tpurt.scene.builder import Material, SceneBuilder
+from tpurt.scene.presets import cornell_sphere_scene
+from tpurt.scene.types import MaterialType
+
+
+def test_cornell_sphere_bitwise():
+    cfg = RenderConfig(
+        width=16, height=16, rays_per_pixel=2, max_bounces=3, tile_size=16,
+        object_path="sphere0.obj",
+    )
+    scene, cam, _ = cornell_sphere_scene(0, cfg)
+    mine = render_frame(scene, cam, cfg)
+    ref, ref_px = oracle.render(scene, cam, 16, 16, 2, 3)
+    np.testing.assert_array_equal(mine, ref)
+    # And the quantised pixels too (tonemap parity).
+    from tpurt.render.tonemap import tonemap
+    import jax.numpy as jnp
+
+    np.testing.assert_array_equal(np.asarray(tonemap(jnp.asarray(mine))), ref_px)
+
+
+def _all_materials_scene():
+    b = SceneBuilder()
+    pos, nrm = procedural.icosphere(1, radius=40.0)
+    glass = b.add_triangles(pos, nrm)
+    glass.material = Material(type=MaterialType.GLASSY, ior=1.5, color=(0.9, 0.9, 1.0))
+    glass.pos = (0.0, 40.0, 0.0)
+    b.add_mesh(glass)
+    fl = b.add_quad((-200, 0, -200), (200, 0, -200), (200, 0, 200), (-200, 0, 200),
+                    (0, 1, 0), (0.8, 0.8, 0.8))
+    fl.material = Material(
+        type=MaterialType.CHECKER, color=(0.9, 0.9, 0.9),
+        emission_color=(0.2, 0.2, 0.2), emission_strength=50.0,
+        specular_probability=0.3, reflectiveness=0.5,
+    )
+    inv = b.add_quad((-50, 0, 80), (50, 0, 80), (50, 100, 80), (-50, 100, 80),
+                     (0, 0, -1), (1, 0, 0))
+    inv.material = Material(type=MaterialType.INVISIBLE, color=(1, 0, 0))
+    osw = b.add_quad((-200, 0, -100), (200, 0, -100), (200, 200, -100),
+                     (-200, 200, -100), (0, 0, 1), (0.5, 0.9, 0.5))
+    osw.material = Material(type=MaterialType.ONE_SIDED, color=(0.5, 0.9, 0.5))
+    bp, bn = procedural.box((30, 30, 30))
+    bx = b.add_triangles(bp, bn)
+    bx.material = Material(type=MaterialType.SOLID, color=(0.9, 0.6, 0.3),
+                           specular_probability=0.5, reflectiveness=0.8)
+    bx.pos = (60.0, 15.0, 20.0)
+    bx.yaw = 0.7
+    bx.pitch = 0.2
+    bx.scale = 1.3
+    b.add_mesh(bx)
+    lt = b.add_quad((-60, 180, -60), (60, 180, -60), (60, 180, 60), (-60, 180, 60),
+                    (0, -1, 0), (0, 0, 0))
+    lt.material = Material(type=MaterialType.SOLID, color=(1, 1, 1),
+                           emission_color=(1, 1, 0.9), emission_strength=10.0,
+                           specular_probability=1.0)
+    scene = b.freeze()
+    cam = Camera.create((0, 80, 220), pitch=-0.15, yaw=3.14159,
+                        fov_degrees=70, aspect_ratio=1.0)
+    return scene, cam
+
+
+@pytest.mark.parametrize("bruteforce_threshold", [4096, 10])
+def test_all_materials_bitwise(bruteforce_threshold):
+    """Every material branch + Russian roulette + transformed instances,
+    on both intersection paths (dense sweep and BVH traversal)."""
+    scene, cam = _all_materials_scene()
+    cfg = RenderConfig(
+        width=12, height=12, rays_per_pixel=3, max_bounces=8, tile_size=12,
+        bruteforce_threshold=bruteforce_threshold,
+    )
+    mine = render_frame(scene, cam, cfg)
+    ref, _ = oracle.render(scene, cam, 12, 12, 3, 8)
+    np.testing.assert_array_equal(mine, ref)
+
+
+def test_tile_decomposition_bitwise_invariant():
+    """Any tile split must give the identical frame — the deliberate fix
+    of the reference's per-device seed drift (image.hpp:228,304)."""
+    cfg = RenderConfig(width=20, height=12, rays_per_pixel=1, max_bounces=2,
+                       tile_size=20, object_path="sphere0.obj")
+    scene, cam, _ = cornell_sphere_scene(0, cfg)
+    whole = render_frame(scene, cam, cfg)
+    for ts in (4, 8, 12):
+        split = render_frame(scene, cam, cfg.replace(tile_size=ts))
+        np.testing.assert_array_equal(whole, split)
+
+
+def test_decorrelated_mode_close_to_reference_mode():
+    """Different estimator, same integral: means should agree loosely."""
+    cfg = RenderConfig(width=12, height=12, rays_per_pixel=16, max_bounces=3,
+                       tile_size=12, object_path="sphere0.obj")
+    scene, cam, _ = cornell_sphere_scene(0, cfg)
+    a = render_frame(scene, cam, cfg)
+    b = render_frame(scene, cam, cfg.replace(seed_mode="decorrelated"))
+    assert abs(float(a.mean()) - float(b.mean())) < 0.05
+    assert np.isfinite(b).all()
+
+
+def test_frame_index_changes_image():
+    cfg = RenderConfig(width=8, height=8, rays_per_pixel=2, max_bounces=3,
+                       tile_size=8, object_path="sphere0.obj")
+    scene, cam, _ = cornell_sphere_scene(0, cfg)
+    f0 = render_frame(scene, cam, cfg, frame_index=0)
+    f1 = render_frame(scene, cam, cfg, frame_index=1)
+    assert not np.array_equal(f0, f1)
+
+
+def test_render_image_uint8():
+    cfg = RenderConfig(width=8, height=8, rays_per_pixel=1, max_bounces=2,
+                       tile_size=8, object_path="sphere0.obj")
+    scene, cam, _ = cornell_sphere_scene(0, cfg)
+    img = render_image(scene, cam, cfg)
+    assert img.dtype == np.uint8 and img.shape == (8, 8, 3)

@@ -120,53 +120,27 @@ def _mt_single(ro, rd, pa, pb, pc, na, nb, nc, cull):
 
 
 class _TriTable(NamedTuple):
-    """Per-triangle precomputes for the contraction-form MT sweep.
+    """Gathered candidate-triangle fields for a sweep chunk.
     All shapes (C, 3) / (C,)."""
 
-    cross_e2e1: jnp.ndarray
-    cross_pae2: jnp.ndarray
-    cross_pae1: jnp.ndarray
-    ng: jnp.ndarray
-    d0: jnp.ndarray
-    e1: jnp.ndarray
-    e2: jnp.ndarray
+    pa: jnp.ndarray
+    pb: jnp.ndarray
+    pc: jnp.ndarray
     na: jnp.ndarray
     nb: jnp.ndarray
     nc: jnp.ndarray
-    gram: jnp.ndarray  # (C, 6): naa, nbb, ncc, nab, nac, nbc
     cull: jnp.ndarray  # (C,) bool — per-tri backface culling
 
 
 def _make_tri_table(scene: Scene, idx: jnp.ndarray, cull: jnp.ndarray) -> _TriTable:
-    pa = scene.tri_pos_a[idx]
-    pb = scene.tri_pos_b[idx]
-    pc = scene.tri_pos_c[idx]
-    na = scene.tri_nrm_a[idx]
-    nb = scene.tri_nrm_b[idx]
-    nc = scene.tri_nrm_c[idx]
-    e1 = pb - pa
-    e2 = pc - pa
-    ng = cross3(e1, e2)
-    gram = jnp.stack(
-        [
-            dot3(na, na), dot3(nb, nb), dot3(nc, nc),
-            dot3(na, nb), dot3(na, nc), dot3(nb, nc),
-        ],
-        axis=-1,
-    )
     return _TriTable(
-        cross_e2e1=cross3(e2, e1),
-        cross_pae2=cross3(pa, e2),
-        cross_pae1=cross3(pa, e1),
-        ng=ng,
-        d0=dot3(pa, ng),
-        e1=e1,
-        e2=e2,
-        na=na,
-        nb=nb,
-        nc=nc,
-        gram=gram,
-        cull=jnp.broadcast_to(cull, pa.shape[:1]),
+        pa=scene.tri_pos_a[idx],
+        pb=scene.tri_pos_b[idx],
+        pc=scene.tri_pos_c[idx],
+        na=scene.tri_nrm_a[idx],
+        nb=scene.tri_nrm_b[idx],
+        nc=scene.tri_nrm_c[idx],
+        cull=jnp.broadcast_to(cull, scene.tri_pos_a[idx].shape[:1]),
     )
 
 
@@ -174,50 +148,26 @@ def _mt_sweep(
     ro: jnp.ndarray, rd: jnp.ndarray, table: _TriTable, best: _LocalBest,
     tri_base: jnp.ndarray,
 ) -> _LocalBest:
-    """Contraction-form MT of R rays against C candidate triangles;
-    folds the per-ray closest candidate into ``best``.
+    """Dense MT sweep of R rays against C candidate triangles; folds the
+    per-ray closest candidate into ``best``.
 
-    ``tri_base`` maps candidate column j to its global triangle id
-    (scalar offset or (C,) index array).
+    Uses the exact broadcast form of ``_mt_single`` (ops in the same
+    order, shapes (R, C, 3)) so a candidate's acceptance and distance
+    are BIT-IDENTICAL to the per-pair test and the scalar oracle — XLA
+    fuses the elementwise chain, so the broadcast intermediates stay in
+    registers rather than HBM. ``tri_base`` maps candidate column j to
+    its global triangle id (scalar offset or (C,) index array).
     """
-    w = cross3(rd, ro)  # per-ray moment
-
-    def contract(vecs):  # (R,3) x (C,3) -> (R,C)
-        return jnp.einsum(
-            "rk,ck->rc", vecs[0], vecs[1], preferred_element_type=jnp.float32
-        )
-
-    det = contract((rd, table.cross_e2e1))
-    u_num = contract((rd, table.cross_pae2)) - contract((w, table.e2))
-    v_num = contract((w, table.e1)) - contract((rd, table.cross_pae1))
-    t_num = contract((ro, table.ng)) - table.d0[None, :]
-
-    f = 1.0 / det
-    u = u_num * f
-    v = v_num * f
-    t = t_num * f
-    ok = (jnp.abs(det) >= EPSILON) & (u >= 0.0) & (u <= 1.0)
-    ok &= (v >= 0.0) & (u + v <= 1.0) & (t > EPSILON)
-
-    # Backface from barycentric weights without materialising normals:
-    # dot(d, n_interp) and |n_interp| via the normal Gram table.
-    w0 = 1.0 - u - v
-    dn = (
-        w0 * contract((rd, table.na))
-        + u * contract((rd, table.nb))
-        + v * contract((rd, table.nc))
+    ok, t, _, _ = _mt_single(
+        ro[:, None, :], rd[:, None, :],
+        table.pa[None], table.pb[None], table.pc[None],
+        table.na[None], table.nb[None], table.nc[None],
+        table.cull[None, :],
     )
-    g = table.gram
-    n_len_sq = (
-        w0 * w0 * g[None, :, 0]
-        + u * u * g[None, :, 1]
-        + v * v * g[None, :, 2]
-        + 2.0 * (w0 * u * g[None, :, 3] + w0 * v * g[None, :, 4] + u * v * g[None, :, 5])
-    )
-    backface = dn > EPSILON * jnp.sqrt(jnp.maximum(n_len_sq, 0.0))
-    ok &= ~(table.cull[None, :] & backface)
 
     t = jnp.where(ok, t, _INF)
+    # argmin returns the FIRST minimum, matching the reference's
+    # strict-< update over triangles in index order (Trace.cl:352-357).
     j = jnp.argmin(t, axis=-1)
     t_best = jnp.take_along_axis(t, j[:, None], axis=-1)[:, 0]
     tri_id = (tri_base + j).astype(jnp.int32) if jnp.ndim(tri_base) == 0 else (
