@@ -56,6 +56,7 @@ def _render_tile_impl(
     x0,
     y0,
     frame_index,
+    sample_offset=0,
     *,
     tile_h: int,
     tile_w: int,
@@ -107,9 +108,14 @@ def _render_tile_impl(
         acc, _ = lax.fori_loop(0, rays_per_pixel, body, (acc0, state0))
     else:
         # Decorrelated per-sample streams: MakeSeed(pixel, frame, sample).
+        # sample_offset lets a device mesh shard the sample axis: shard k
+        # renders samples [k*local_spp, (k+1)*local_spp) of the SAME
+        # estimator, so the psum of shard sums equals the single-chip sum
+        # up to f32 reassociation.
         def body(s, acc):
-            ro, rd = camera_rays(s.astype(jnp.uint32))
-            state = rnglib.make_seed(pixel_index, frame_index, s.astype(jnp.uint32))
+            sample_id = (s + sample_offset).astype(jnp.uint32)
+            ro, rd = camera_rays(sample_id)
+            state = rnglib.make_seed(pixel_index, frame_index, sample_id)
             light, _ = trace_paths(
                 scene, ro, rd, state, max_bounces,
                 invisible_budget, bruteforce_threshold,
