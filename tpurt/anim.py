@@ -1,0 +1,115 @@
+"""Animation: per-frame scene updates and the video render loop.
+
+setupNextVideoFrame (src/image.hpp:385-399) rotates the last mesh's yaw
+to 2*pi*frame/VIDEO_FRAME_COUNT + 5.5 before each frame. The reference's
+actual multi-frame loop is commented out (main.cpp:686-704) — only the
+single-frame call with frame 0 runs — so this module supplies the
+capability the reference documents: frames rendered to
+<out_dir>/output_<i>.bmp, assembled by scripts/render.sh (ffmpeg), with
+per-frame seeds flowing through MakeSeed's frameIndex.
+
+Scene transforms are traced data, so a frame update is a cheap pytree
+``replace`` — no host rebuild, and the same compiled render executable
+serves every frame.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from typing import Callable, Optional
+
+import numpy as np
+
+from tpurt.config import RenderConfig
+from tpurt.core.camera import Camera
+from tpurt.render.renderer import render_frame
+from tpurt.render.tonemap import tonemap
+from tpurt.io.bmp import write_bmp
+from tpurt.scene.types import Scene
+
+
+def set_mesh_yaw(scene: Scene, mesh_index: int, yaw: float) -> Scene:
+    """Returns a scene with one mesh's yaw replaced.
+
+    Refuses meshes frozen as identity transforms: the intersector routed
+    them into the fused world-space sweep at freeze time, so rotating
+    them post-freeze would render stale geometry. Rebuild via
+    SceneBuilder (or give the mesh a non-identity transform before
+    freezing) to animate it.
+    """
+    if scene.mesh_identity[mesh_index % scene.num_meshes]:
+        raise ValueError(
+            f"mesh {mesh_index} was frozen with an identity transform and "
+            "is fused into the static world sweep; re-freeze the scene "
+            "with a non-identity transform to animate it"
+        )
+    return scene.replace(
+        mesh_yaw=scene.mesh_yaw.at[mesh_index].set(np.float32(yaw))
+    )
+
+
+def video_frame_scene(scene: Scene, frame_index: int, frame_count: int) -> Scene:
+    """setupNextVideoFrame semantics: last mesh yaw =
+    2*pi*frame/count + 5.5 (the +5.5 makes a single frame 'start out
+    cool', image.hpp:390)."""
+    yaw = (2.0 * math.pi / float(frame_count)) * float(frame_index) + 5.5
+    return set_mesh_yaw(scene, scene.num_meshes - 1, yaw)
+
+
+def render_video(
+    scene: Scene,
+    camera: Camera,
+    cfg: RenderConfig,
+    out_dir: Optional[str] = None,
+    frame_hook: Callable[[Scene, int, int], Scene] = video_frame_scene,
+    progress=None,
+) -> list:
+    """Render cfg.video_frame_count frames to out_dir/output_<i>.bmp.
+
+    The output naming matches what the reference's render.sh consumes
+    (img/output_%d.bmp). Returns the list of written paths.
+    """
+    out_dir = out_dir or cfg.video_output_dir
+    os.makedirs(out_dir, exist_ok=True)
+    paths = []
+    n = cfg.video_frame_count
+    for f in range(n):
+        frame_scene = frame_hook(scene, f, n)
+        radiance = render_frame(frame_scene, camera, cfg, frame_index=f)
+        import jax.numpy as jnp
+
+        img = np.asarray(tonemap(jnp.asarray(radiance)))
+        path = os.path.join(out_dir, f"output_{f}.bmp")
+        write_bmp(path, img)
+        paths.append(path)
+        if progress is not None:
+            progress(f + 1, n)
+    return paths
+
+
+def progressive_render(
+    scene: Scene,
+    camera: Camera,
+    cfg: RenderConfig,
+    passes: int,
+    preview_path: Optional[str] = "preview.bmp",
+    preview_every: int = 10,
+    progress=None,
+) -> np.ndarray:
+    """Progressive refinement: accumulate whole-frame passes with
+    different frameIndex seeds and average — the semantics of the
+    reference's interactive viewer (intBuffer accumulation,
+    main.cpp:574-582) and of its promised-but-unimplemented
+    'preview.bmp every 10 frames' (settings.hpp:19-20). Returns the
+    final averaged radiance."""
+    import jax.numpy as jnp
+
+    acc = np.zeros((cfg.height, cfg.width, 3), np.float32)
+    for i in range(passes):
+        acc += render_frame(scene, camera, cfg, frame_index=i)
+        if preview_path and ((i + 1) % preview_every == 0 or i + 1 == passes):
+            write_bmp(preview_path, np.asarray(tonemap(jnp.asarray(acc / (i + 1)))))
+        if progress is not None:
+            progress(i + 1, passes)
+    return acc / passes
