@@ -1,0 +1,174 @@
+"""Benchmark harness.
+
+Runs the BASELINE.md config ladder on the default JAX backend (the real
+TPU chip under the driver) and prints ONE JSON line for the headline
+metric — Mrays/sec/chip on the bunny-class 1080p BVH scene — where
+rays = W*H*spp*avg_path_length (path segments actually traced, counted
+exactly by the integrator). vs_baseline is measured against the
+driver-set north star of 500 Mrays/s/chip (BASELINE.json; the reference
+itself publishes no numbers, BASELINE.md).
+
+Secondary ladder results go to stderr. Usage:
+    python bench.py                 # headline only (fast-ish)
+    python bench.py --ladder        # all configs
+    python bench.py --cpu           # debug on CPU
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_MRAYS = 500.0
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def build_scene(kind: str, cfg):
+    from tpurt.scene import procedural
+    from tpurt.scene.builder import Material, SceneBuilder
+    from tpurt.scene.types import MaterialType
+    from tpurt.core.camera import Camera
+
+    b = SceneBuilder()
+    if kind == "teapot":  # low-poly class, ~6k tris (BASELINE config 2)
+        pos, nrm = procedural.torus_knot(segments=96, sides=32, radius=80.0, tube=22.0)
+    elif kind == "bunny":  # ~69k tris (BASELINE config 3)
+        pos, nrm = procedural.torus_knot(segments=540, sides=64, radius=80.0, tube=22.0)
+    elif kind == "sphere":
+        pos, nrm = procedural.icosphere(3, radius=100.0)
+    else:
+        raise ValueError(kind)
+    mesh = b.add_triangles(pos, nrm)
+    mesh.material = Material(
+        type=MaterialType.SOLID, ior=1.0, color=(1.0, 1.0, 1.0),
+        specular_probability=1.0,
+    )
+    mesh.scale = 0.5
+    b.add_cornell_box(mesh)
+    b.add_mesh(mesh)
+    scene = b.freeze()
+    cam = Camera.create(
+        position=cfg.camera_position, pitch=cfg.camera_pitch,
+        yaw=cfg.camera_yaw, roll=cfg.camera_roll,
+        fov_degrees=cfg.fov_degrees, aspect_ratio=cfg.aspect_ratio,
+    )
+    return scene, cam
+
+
+def time_render(scene, cam, cfg, repeats=2):
+    """Returns (seconds, total_segments, radiance) for one full frame,
+    compile excluded (one warmup tile), best of `repeats`."""
+    import jax
+    from tpurt.render.renderer import render_tile_with_stats
+
+    ts = cfg.tile_size
+    tiles_x, tiles_y = cfg.tiles()
+
+    # Warmup / compile.
+    r, s = render_tile_with_stats(scene, cam, cfg, 0, 0, ts, ts)
+    jax.block_until_ready((r, s))
+
+    best = None
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        total_seg = 0.0
+        outs = []
+        for ty in range(tiles_y):
+            for tx in range(tiles_x):
+                r, s = render_tile_with_stats(
+                    scene, cam, cfg, tx * ts, ty * ts, ts, ts
+                )
+                outs.append((r, s))
+        jax.block_until_ready(outs)
+        dt = time.perf_counter() - t0
+        total_seg = float(sum(float(s) for _, s in outs))
+        if best is None or dt < best[0]:
+            best = (dt, total_seg, outs[0][0])
+    return best
+
+
+def run_config(name, scene_kind, cfg, repeats=2):
+    from tpurt.config import RenderConfig
+
+    scene, cam = build_scene(scene_kind, cfg)
+    log(f"[{name}] scene={scene_kind} tris={scene.num_triangles} "
+        f"{cfg.width}x{cfg.height} spp={cfg.rays_per_pixel} "
+        f"bounces={cfg.max_bounces} tile={cfg.tile_size} "
+        f"bf_threshold={cfg.bruteforce_threshold}")
+    dt, segments, _ = time_render(scene, cam, cfg, repeats)
+    mrays = segments / dt / 1e6
+    prim = cfg.width * cfg.height * cfg.rays_per_pixel
+    log(f"[{name}] {dt:.3f}s  {segments/1e6:.1f}M segments "
+        f"(avg path {segments/prim:.2f})  => {mrays:.1f} Mrays/s")
+    return {"name": name, "seconds": dt, "mrays": mrays,
+            "avg_path": segments / prim}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ladder", action="store_true")
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--tile-size", type=int, default=256)
+    ap.add_argument("--spp", type=int, default=8)
+    args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax
+
+    from tpurt.config import RenderConfig
+
+    log(f"devices: {jax.devices()}")
+
+    common = dict(tile_size=args.tile_size, seed_mode="reference")
+
+    results = []
+    if args.ladder:
+        # Config 1: CPU-oracle parity scene (small; parity is asserted in
+        # tests, here we time it).
+        results.append(run_config(
+            "parity-512", "sphere",
+            RenderConfig(width=512, height=512, rays_per_pixel=4,
+                         max_bounces=8, **common)))
+        # Config 2: low-poly brute force, 720p.
+        results.append(run_config(
+            "teapot-720p-bruteforce", "teapot",
+            RenderConfig(width=1280, height=720, rays_per_pixel=args.spp,
+                         max_bounces=4, bruteforce_threshold=1 << 30,
+                         **common)))
+        # Config 4: Cornell 256 spp accumulation at lower res.
+        results.append(run_config(
+            "cornell-256spp", "sphere",
+            RenderConfig(width=512, height=512, rays_per_pixel=256,
+                         max_bounces=4, **common)))
+
+    # Config 3 — the headline: bunny-class BVH at 1080p.
+    headline = run_config(
+        "bunny-1080p-bvh", "bunny",
+        RenderConfig(width=1920, height=1080, rays_per_pixel=args.spp,
+                     max_bounces=4, **common))
+    results.append(headline)
+
+    for r in results:
+        log(json.dumps(r))
+
+    print(json.dumps({
+        "metric": "Mrays/sec/chip bunny-class 1080p BVH path trace",
+        "value": round(headline["mrays"], 2),
+        "unit": "Mrays/s",
+        "vs_baseline": round(headline["mrays"] / BASELINE_MRAYS, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

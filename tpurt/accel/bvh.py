@@ -138,8 +138,18 @@ def _split(
     tri_nrm: np.ndarray,
     parent: int,
     depth: int,
+    leaf_cap: int = 0,
 ) -> None:
-    """SplitBVH (readobj.hpp:206-267), stable-partition variant."""
+    """SplitBVH (readobj.hpp:206-267), stable-partition variant.
+
+    ``leaf_cap`` > 0 additionally forces oversized leaves to split even
+    when the SAH cost test declines (midpoint of the longest axis, then
+    a median split if the midpoint degenerates). The reference has no
+    cap — its cost cutoff can leave arbitrarily fat leaves — but the
+    TPU traversal wants a bound: leaf size feeds a masked per-lane loop
+    and an 8-bit packed-node field. Image output never depends on BVH
+    shape, only speed does.
+    """
     n = nodes.ntris[parent]
     if depth == 0 or n <= 2:
         return
@@ -148,12 +158,26 @@ def _split(
 
     axis, split_pos, cost = _choose_split(seg, nodes.bmin[parent], nodes.bmax[parent])
     parent_size = nodes.bmax[parent] - nodes.bmin[parent]
-    if cost >= float(_node_cost(parent_size, n)):
+    forced = leaf_cap > 0 and n > leaf_cap
+    if cost >= float(_node_cost(parent_size, n)) and not forced:
         return
 
     centroids = (seg[:, 0] + seg[:, 1] + seg[:, 2]) / np.float32(3.0)
     in_a = centroids[:, axis] < np.float32(split_pos)
     na = int(in_a.sum())
+    if (na == 0 or na == n) and forced:
+        # SAH declined or degenerated but the leaf is too fat: midpoint
+        # of the longest axis, falling back to a median split.
+        size = nodes.bmax[parent] - nodes.bmin[parent]
+        axis = int(np.argmax(size))
+        mid = np.float32(nodes.bmin[parent][axis] + size[axis] * 0.5)
+        in_a = centroids[:, axis] < mid
+        na = int(in_a.sum())
+        if na == 0 or na == n:
+            order_med = np.argsort(centroids[:, axis], kind="stable")
+            in_a = np.zeros(n, bool)
+            in_a[order_med[: n // 2]] = True
+            na = n // 2
     if na == 0 or na == n:
         return
 
@@ -169,8 +193,13 @@ def _split(
     nodes.ntris[parent] = 0  # becomes internal (readobj.hpp:249)
     nodes.append(amin, amax, 0, f, na)
     nodes.append(bmin_b, bmax_b, 0, f + na, n - na)
-    _split(nodes, tri_pos, tri_nrm, child, depth - 1)
-    _split(nodes, tri_pos, tri_nrm, child + 1, depth - 1)
+    _split(nodes, tri_pos, tri_nrm, child, depth - 1, leaf_cap)
+    _split(nodes, tri_pos, tri_nrm, child + 1, depth - 1, leaf_cap)
+
+
+#: Default leaf-size cap: bounds the traversal's masked leaf loop and
+#: fits the packed node's 8-bit triangle count.
+DEFAULT_LEAF_CAP = 8
 
 
 def build_bvh(
@@ -180,6 +209,7 @@ def build_bvh(
     first_tri: int,
     num_tris: int,
     max_depth: int = 64,
+    leaf_cap: int = DEFAULT_LEAF_CAP,
 ) -> int:
     """Build a BVH over tri_pos[first : first+num] in place; returns the
     root node index. max_depth=64 matches loadMeshFromOBJFile
@@ -187,7 +217,7 @@ def build_bvh(
     (readobj.hpp:392, a no-op at 2 triangles)."""
     bmin, bmax = _tri_bounds(tri_pos[first_tri : first_tri + num_tris])
     root = nodes.append(bmin, bmax, 0, first_tri, num_tris)
-    _split(nodes, tri_pos, tri_nrm, root, max_depth)
+    _split(nodes, tri_pos, tri_nrm, root, max_depth, leaf_cap)
     return root
 
 

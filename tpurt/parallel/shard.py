@@ -70,7 +70,7 @@ def _render_sharded_impl(
         si = lax.axis_index(SAMPLE_AXIS)
         y0 = (ti * rows_per_dev).astype(jnp.int32)
         sample0 = si * jnp.int32(local_spp)
-        block = _render_tile_impl(
+        block, _ = _render_tile_impl(
             scene, camera,
             jnp.int32(0), y0, frame_index, sample0,
             tile_h=rows_per_dev, tile_w=cfg.width,

@@ -47,6 +47,7 @@ class _PathState(NamedTuple):
     light: jnp.ndarray  # (R, 3)
     rng: jnp.ndarray  # (R,) u32
     bounces: jnp.ndarray  # (R,) i32
+    segments: jnp.ndarray  # (R,) i32 — scene intersections performed
     active: jnp.ndarray  # (R,) bool
     iteration: jnp.ndarray  # () i32 — global trip counter
 
@@ -59,8 +60,19 @@ def trace_paths(
     max_bounces: int,
     invisible_budget: int = 32,
     bruteforce_threshold: int = 4096,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Trace one path per lane; returns (radiance (R,3), rng_state)."""
+    first_hit=None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Trace one path per lane; returns (radiance (R,3), rng_state,
+    path_length (R,) i32 — scene-intersection count per path, the ray
+    count the Mrays/s metric is defined over).
+
+    ``first_hit`` optionally supplies a precomputed Hit for bounce 0.
+    The reference reuses ONE camera ray for every sample of a pixel
+    (Trace.cl:636-641) and the bounce-0 intersection consumes no RNG, so
+    the caller can intersect primaries once per pixel and share the
+    result across the whole spp loop — bit-identical, ~spp x fewer
+    primary traversals.
+    """
     r = origin.shape[0]
     state = _PathState(
         origin=origin,
@@ -69,6 +81,7 @@ def trace_paths(
         light=jnp.zeros((r, 3), jnp.float32),
         rng=rng_state,
         bounces=jnp.zeros((r,), jnp.int32),
+        segments=jnp.zeros((r,), jnp.int32),
         active=jnp.ones((r,), bool) & (max_bounces > 0),
         iteration=jnp.int32(0),
     )
@@ -77,9 +90,7 @@ def trace_paths(
     def cond(s: _PathState):
         return jnp.any(s.active) & (s.iteration < hard_cap)
 
-    def body(s: _PathState) -> _PathState:
-        hit = intersect_scene(scene, s.origin, s.direction, bruteforce_threshold)
-
+    def body_with_hit(s: _PathState, hit) -> _PathState:
         midx = jnp.maximum(hit.mesh_idx, 0)
         mtype = scene.mat_type[midx]
         color = scene.mat_color[midx]
@@ -166,9 +177,16 @@ def trace_paths(
             light=light,
             rng=new_rng,
             bounces=bounces,
+            segments=s.segments + s.active.astype(jnp.int32),
             active=active,
             iteration=s.iteration + 1,
         )
 
+    def body(s: _PathState) -> _PathState:
+        hit = intersect_scene(scene, s.origin, s.direction, bruteforce_threshold)
+        return body_with_hit(s, hit)
+
+    if first_hit is not None:
+        state = body_with_hit(state, first_hit)  # peeled bounce 0
     final = lax.while_loop(cond, body, state)
-    return final.light, final.rng
+    return final.light, final.rng, final.segments

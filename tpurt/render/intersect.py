@@ -65,7 +65,12 @@ from tpurt.core.vecmath import (
 from tpurt.scene.types import MaterialType, Scene
 
 _F32 = jnp.float32
-_INF = jnp.float32(np.inf)
+# Host constant on purpose: a module-level jnp scalar would be a
+# device-resident array that gets embedded into every jit as a runtime
+# device constant — measured to make while_loops on the axon TPU
+# backend ~4000x slower (the loop state stops being register/VMEM
+# resident). A numpy scalar folds into the executable at compile time.
+_INF = np.float32(np.inf)
 
 
 class Hit(NamedTuple):
@@ -236,13 +241,25 @@ def _aabb(ro, invd, bmin, bmax):
 
 
 def _bvh_traverse(
-    scene: Scene, root: jnp.ndarray, ro, rd, cull, max_leaf: int
+    scene: Scene, root: jnp.ndarray, ro, rd, cull, max_leaf: int, t_limit=None
 ) -> _LocalBest:
-    """Stackless threaded walk; one int32 cursor per ray lane."""
+    """Stackless threaded walk; one int32 cursor per ray lane.
+
+    The hot loop fetches ONE packed (8,) node row per lane per step
+    (Scene.node_packed) — TPU gathers cost ~a cycle per row per lane
+    regardless of row width, so packing beats per-field gathers ~10x.
+    ``t_limit`` (local-space distance, optional) pre-seeds the pruning
+    bound with the closest hit found on earlier meshes: a candidate
+    beyond it can never win globally, so subtrees behind already-found
+    geometry are skipped (the reference starts each mesh at INFINITY,
+    Trace.cl:322-323; pruning harder is result-invariant because the
+    final winner comparison is exact).
+    """
     invd = 1.0 / rd
     r = ro.shape[0]
     cur = jnp.broadcast_to(jnp.asarray(root, jnp.int32), (r,))
-    best = _LocalBest(t=jnp.full((r,), _INF, _F32), tri=jnp.full((r,), -1, jnp.int32))
+    t0 = jnp.full((r,), _INF, _F32) if t_limit is None else t_limit
+    best = _LocalBest(t=t0, tri=jnp.full((r,), -1, jnp.int32))
 
     def cond(state):
         cur, _ = state
@@ -252,25 +269,31 @@ def _bvh_traverse(
         cur, best = state
         active = cur >= 0
         idx = jnp.maximum(cur, 0)
-        bmin = scene.node_min[idx]
-        bmax = scene.node_max[idx]
+        row = scene.node_packed[idx]  # (R, 8) — the one gather
+        bmin = row[:, 0:3]
+        bmax = row[:, 3:6]
+        w6 = lax.bitcast_convert_type(row[:, 6], jnp.int32)
+        w7 = lax.bitcast_convert_type(row[:, 7], jnp.uint32)
+        miss = (w7 & jnp.uint32(0xFFFFFF)).astype(jnp.int32) - 1
+        ntris = (w7 >> jnp.uint32(24)).astype(jnp.int32)
+
         box_hit, tmin = _aabb(ro, invd, bmin, bmax)
         # Distance pruning mirrors Trace.cl:348-349.
         enter = active & box_hit & (tmin < best.t)
-        ntris = scene.node_ntris[idx]
-        nindex = scene.node_index[idx]
         is_leaf = ntris > 0
 
-        # Leaf: masked scan of up to max_leaf triangles.
+        # Leaf: masked scan of up to max_leaf triangles, one packed
+        # (18,) row gather per slot.
         t_acc, tri_acc = best.t, best.tri
         leaf_on = enter & is_leaf
         for i in range(max_leaf):
             live = leaf_on & (i < ntris)
-            tri = jnp.where(live, nindex + i, 0)
+            tri = jnp.where(live, w6 + i, 0)
+            trow = scene.tri_packed[tri]  # (R, 18)
             ok, t, _, _ = _mt_single(
                 ro, rd,
-                scene.tri_pos_a[tri], scene.tri_pos_b[tri], scene.tri_pos_c[tri],
-                scene.tri_nrm_a[tri], scene.tri_nrm_b[tri], scene.tri_nrm_c[tri],
+                trow[:, 0:3], trow[:, 3:6], trow[:, 6:9],
+                trow[:, 9:12], trow[:, 12:15], trow[:, 15:18],
                 cull,
             )
             win = live & ok & (t < t_acc)
@@ -278,7 +301,7 @@ def _bvh_traverse(
             tri_acc = jnp.where(win, tri, tri_acc)
 
         descend = enter & ~is_leaf
-        nxt = jnp.where(descend, scene.node_hit[idx], scene.node_miss[idx])
+        nxt = jnp.where(descend, w6, miss)
         nxt = jnp.where(active, nxt, -1)
         return nxt, _LocalBest(t=t_acc, tri=tri_acc)
 
@@ -434,8 +457,14 @@ def _transformed_mesh_pass(
     if count <= bruteforce_threshold:
         lb = _bruteforce_range(scene, lo, ld, first, count, cull)
     else:
+        # Seed pruning with the best hit from earlier meshes, converted
+        # to local distance (world ~= scale * local) with a relative
+        # safety margin so float rounding can never prune a candidate
+        # that would win the exact world-space comparison below.
+        t_limit = best.dst / safe * _F32(1.001)
         lb = _bvh_traverse(
-            scene, scene.mesh_root[i], lo, ld, cull, scene.max_leaf_tris
+            scene, scene.mesh_root[i], lo, ld, cull, scene.max_leaf_tris,
+            t_limit=t_limit,
         )
 
     valid, point_l, n_l, backface = _finalize_local(scene, lo, ld, lb, cull)

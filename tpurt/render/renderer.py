@@ -30,6 +30,7 @@ from tpurt.config import RenderConfig
 from tpurt.core import rng as rnglib
 from tpurt.core.camera import Camera, make_ray, pixel_uv
 from tpurt.render.integrator import trace_paths
+from tpurt.render.intersect import intersect_scene
 from tpurt.render.tonemap import tonemap
 from tpurt.scene.types import Scene
 
@@ -90,42 +91,59 @@ def _render_tile_impl(
         return make_ray(camera, uv)
 
     acc0 = jnp.zeros((tile_h * tile_w, 3), jnp.float32)
+    seg0 = jnp.float32(0.0)
 
     if seed_mode == "reference":
         # One ray + one continuous stream shared by all samples
-        # (Trace.cl:632-642).
+        # (Trace.cl:632-642). The shared camera ray means the bounce-0
+        # intersection is identical across samples: compute it once and
+        # share it through the whole spp loop (bit-identical; the first
+        # intersection consumes no RNG).
         ro, rd = camera_rays(jnp.uint32(0))
         state0 = rnglib.make_seed(pixel_index, frame_index, 0)
+        hit0 = intersect_scene(scene, ro, rd, bruteforce_threshold)
 
         def body(_, carry):
-            acc, state = carry
-            light, state = trace_paths(
+            acc, state, seg = carry
+            light, state, segments = trace_paths(
                 scene, ro, rd, state, max_bounces,
-                invisible_budget, bruteforce_threshold,
+                invisible_budget, bruteforce_threshold, first_hit=hit0,
             )
-            return acc + light, state
+            return acc + light, state, seg + jnp.sum(segments.astype(jnp.float32))
 
-        acc, _ = lax.fori_loop(0, rays_per_pixel, body, (acc0, state0))
+        acc, _, seg = lax.fori_loop(0, rays_per_pixel, body, (acc0, state0, seg0))
     else:
         # Decorrelated per-sample streams: MakeSeed(pixel, frame, sample).
         # sample_offset lets a device mesh shard the sample axis: shard k
         # renders samples [k*local_spp, (k+1)*local_spp) of the SAME
         # estimator, so the psum of shard sums equals the single-chip sum
-        # up to f32 reassociation.
-        def body(s, acc):
+        # up to f32 reassociation. Without sub-pixel jitter the camera
+        # ray is still shared, so the primary hit is cached here too.
+        hit0 = (
+            None
+            if subpixel_jitter
+            else intersect_scene(
+                scene, *camera_rays(jnp.uint32(0)), bruteforce_threshold
+            )
+        )
+
+        def body(s, carry):
+            acc, seg = carry
             sample_id = (s + sample_offset).astype(jnp.uint32)
             ro, rd = camera_rays(sample_id)
             state = rnglib.make_seed(pixel_index, frame_index, sample_id)
-            light, _ = trace_paths(
+            light, _, segments = trace_paths(
                 scene, ro, rd, state, max_bounces,
-                invisible_budget, bruteforce_threshold,
+                invisible_budget, bruteforce_threshold, first_hit=hit0,
             )
-            return acc + light
+            return acc + light, seg + jnp.sum(segments.astype(jnp.float32))
 
-        acc = lax.fori_loop(0, rays_per_pixel, body, acc0)
+        acc, seg = lax.fori_loop(0, rays_per_pixel, body, (acc0, seg0))
 
     mean = acc / jnp.float32(rays_per_pixel)
-    return mean.reshape(tile_h, tile_w, 3)
+    # Total path segments traced in this tile — the "rays" of the
+    # Mrays/s metric (rays = W*H*spp*avg_path_length, SURVEY.md §5).
+    return mean.reshape(tile_h, tile_w, 3), seg
 
 
 def render_tile(
@@ -139,6 +157,23 @@ def render_tile(
     frame_index: int = 0,
 ) -> jnp.ndarray:
     """Mean radiance of one tile, (tile_h, tile_w, 3) float32."""
+    return render_tile_with_stats(
+        scene, camera, cfg, x0, y0, tile_h, tile_w, frame_index
+    )[0]
+
+
+def render_tile_with_stats(
+    scene: Scene,
+    camera: Camera,
+    cfg: RenderConfig,
+    x0: int = 0,
+    y0: int = 0,
+    tile_h: Optional[int] = None,
+    tile_w: Optional[int] = None,
+    frame_index: int = 0,
+):
+    """(radiance tile, total path segments traced) — the second value is
+    the exact ray count of the Mrays/s metric."""
     tile_h = tile_h or min(cfg.tile_size, cfg.height)
     tile_w = tile_w or min(cfg.tile_size, cfg.width)
     return _render_tile_impl(

@@ -245,6 +245,26 @@ class SceneBuilder:
         roots = [m.node_idx for m in self.meshes]
         hit, miss = thread_links(child, ntris, sorted(set(roots)))
 
+        # Gather-packed node rows (see Scene.node_packed).
+        m_nodes = len(ntris)
+        assert m_nodes < (1 << 24), "node count exceeds packed miss-link field"
+        assert ntris.max(initial=0) < (1 << 8), (
+            "leaf size exceeds packed field; lower the builder leaf cap"
+        )
+        node_packed = np.zeros((m_nodes, 8), np.float32)
+        node_packed[:, 0:3] = np.asarray(bmin, np.float32).reshape(m_nodes, 3)
+        node_packed[:, 3:6] = np.asarray(bmax, np.float32).reshape(m_nodes, 3)
+        w6 = np.where(ntris == 0, hit.astype(np.int64), first).astype(np.int32)
+        w7 = ((miss.astype(np.int64) + 1) | (ntris.astype(np.int64) << 24)).astype(
+            np.int32
+        )
+        node_packed[:, 6] = w6.view(np.float32)
+        node_packed[:, 7] = w7.view(np.float32)
+
+        tri_packed = np.concatenate(
+            [tri_pos.reshape(-1, 9), tri_nrm.reshape(-1, 9)], axis=1
+        ).astype(np.float32)
+
         k = len(self.meshes)
         mesh_root = np.asarray(roots, np.int32)
         mesh_pos = np.asarray([m.pos for m in self.meshes], np.float32).reshape(k, 3)
@@ -265,6 +285,8 @@ class SceneBuilder:
             node_ntris=jnp.asarray(ntris.astype(np.int32)),
             node_hit=jnp.asarray(hit),
             node_miss=jnp.asarray(miss),
+            node_packed=jnp.asarray(node_packed),
+            tri_packed=jnp.asarray(tri_packed),
             mesh_root=jnp.asarray(mesh_root),
             mesh_pos=jnp.asarray(mesh_pos),
             mesh_pitch=jnp.asarray(f32(lambda m: m.pitch)),

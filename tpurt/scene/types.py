@@ -67,6 +67,16 @@ class Scene:
     node_hit: jnp.ndarray  # (M,) i32
     node_miss: jnp.ndarray  # (M,) i32
 
+    # Gather-packed mirrors for the traversal hot loop. TPU gathers pay
+    # per gather OP (~1 row/cycle), not per byte, so the walk fetches ONE
+    # (8,) row per step instead of ~10 scalar gathers:
+    #   node_packed[:, 0:3] bounds min, [3:6] bounds max,
+    #   [6] bitcast i32: first child (internal) / first triangle (leaf),
+    #   [7] bitcast i32: (miss_link + 1) | (num_tris << 24).
+    # tri_packed rows: pa pb pc na nb nc (18 floats).
+    node_packed: jnp.ndarray  # (M, 8) f32
+    tri_packed: jnp.ndarray  # (T, 18) f32
+
     # Mesh instances (K).
     mesh_root: jnp.ndarray  # (K,) i32 BVH root node per mesh
     mesh_pos: jnp.ndarray  # (K, 3) f32
