@@ -75,7 +75,8 @@ def test_traversal_matches_bruteforce():
     cull = jnp.asarray(True)
     bf = I._bruteforce_range(scene, ro, rd, 0, scene.num_triangles, cull)
     tv = I._bvh_traverse(
-        scene, scene.mesh_root[0], ro, rd, cull, scene.max_leaf_tris
+        scene, scene.mesh_root[0], ro, rd, cull, scene.max_leaf_tris,
+        qmin=scene.mesh_qmin[0], qscale=scene.mesh_qscale[0],
     )
     np.testing.assert_array_equal(np.asarray(bf.tri), np.asarray(tv.tri))
     hit = np.asarray(bf.tri) >= 0

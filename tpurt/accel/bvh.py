@@ -197,9 +197,11 @@ def _split(
     _split(nodes, tri_pos, tri_nrm, child + 1, depth - 1, leaf_cap)
 
 
-#: Default leaf-size cap: bounds the traversal's masked leaf loop and
-#: fits the packed node's 8-bit triangle count.
-DEFAULT_LEAF_CAP = 8
+#: Default leaf-size cap: bounds the traversal's masked leaf loop (every
+#: leaf-drain step pays max_leaf triangle-row gathers across ALL lanes,
+#: so one fat leaf anywhere taxes the whole scene) and fits the packed
+#: node's 8-bit triangle count.
+DEFAULT_LEAF_CAP = 4
 
 
 def build_bvh(

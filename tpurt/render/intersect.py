@@ -241,13 +241,22 @@ def _aabb(ro, invd, bmin, bmax):
 
 
 def _bvh_traverse(
-    scene: Scene, root: jnp.ndarray, ro, rd, cull, max_leaf: int, t_limit=None
+    scene: Scene, root: jnp.ndarray, ro, rd, cull, max_leaf: int,
+    qmin, qscale, t_limit=None,
 ) -> _LocalBest:
     """Stackless threaded walk; one int32 cursor per ray lane.
 
-    The hot loop fetches ONE packed (8,) node row per lane per step
-    (Scene.node_packed) — TPU gathers cost ~a cycle per row per lane
-    regardless of row width, so packing beats per-field gathers ~10x.
+    The cost model on TPU is gathered ELEMENTS per lane per step (XLA
+    gathers run at a few Gelement/s), so the walk is phase-split:
+
+      * descent steps fetch one 5-float quantised node row (uint16
+        bounds on the per-mesh grid; decoded boxes are conservative,
+        never clipping a true hit);
+      * leaf processing (the 18-float exact triangle rows + MT) happens
+        only once per landed leaf, outside the descent loop — lanes park
+        on their leaf until every lane has either parked or finished,
+        then all leaves are drained together.
+
     ``t_limit`` (local-space distance, optional) pre-seeds the pruning
     bound with the closest hit found on earlier meshes: a candidate
     beyond it can never win globally, so subtrees behind already-found
@@ -261,35 +270,68 @@ def _bvh_traverse(
     t0 = jnp.full((r,), _INF, _F32) if t_limit is None else t_limit
     best = _LocalBest(t=t0, tri=jnp.full((r,), -1, jnp.int32))
 
-    def cond(state):
-        cur, _ = state
-        return jnp.any(cur >= 0)
+    zeros_i = jnp.zeros((r,), jnp.int32)
+    state0 = (
+        cur,
+        jnp.zeros((r,), bool),  # parked on a leaf
+        zeros_i,  # leaf first tri
+        zeros_i,  # leaf tri count
+        zeros_i - 1,  # leaf miss link
+        best,
+    )
 
-    def body(state):
-        cur, best = state
-        active = cur >= 0
-        idx = jnp.maximum(cur, 0)
-        row = scene.node_packed[idx]  # (R, 8) — the one gather
-        bmin = row[:, 0:3]
-        bmax = row[:, 3:6]
-        w6 = lax.bitcast_convert_type(row[:, 6], jnp.int32)
-        w7 = lax.bitcast_convert_type(row[:, 7], jnp.uint32)
+    def outer_cond(s):
+        return jnp.any(s[0] >= 0)
+
+    def descend_cond(s):
+        cur, parked = s[0], s[1]
+        return jnp.any((cur >= 0) & ~parked)
+
+    def descend_body(s):
+        cur, parked, lf, ln, lm, best = s
+        walking = (cur >= 0) & ~parked
+        idx = jnp.where(walking, cur, 0)
+        row = scene.node_q[idx]  # (R, 5) — the one descent gather
+        u0 = lax.bitcast_convert_type(row[:, 0], jnp.uint32)
+        u1 = lax.bitcast_convert_type(row[:, 1], jnp.uint32)
+        u2 = lax.bitcast_convert_type(row[:, 2], jnp.uint32)
+        lo16 = jnp.uint32(0xFFFF)
+        q_lo = jnp.stack(
+            [u0 & lo16, u0 >> 16, u1 & lo16], axis=-1
+        ).astype(_F32)
+        q_hi = jnp.stack(
+            [u1 >> 16, u2 & lo16, u2 >> 16], axis=-1
+        ).astype(_F32)
+        bmin = qmin + q_lo * qscale
+        bmax = qmin + q_hi * qscale
+        w6 = lax.bitcast_convert_type(row[:, 3], jnp.int32)
+        w7 = lax.bitcast_convert_type(row[:, 4], jnp.uint32)
         miss = (w7 & jnp.uint32(0xFFFFFF)).astype(jnp.int32) - 1
         ntris = (w7 >> jnp.uint32(24)).astype(jnp.int32)
 
         box_hit, tmin = _aabb(ro, invd, bmin, bmax)
         # Distance pruning mirrors Trace.cl:348-349.
-        enter = active & box_hit & (tmin < best.t)
+        enter = walking & box_hit & (tmin < best.t)
         is_leaf = ntris > 0
+        land = enter & is_leaf
 
-        # Leaf: masked scan of up to max_leaf triangles, one packed
-        # (18,) row gather per slot.
+        parked = parked | land
+        lf = jnp.where(land, w6, lf)
+        ln = jnp.where(land, ntris, ln)
+        lm = jnp.where(land, miss, lm)
+        nxt = jnp.where(enter & ~is_leaf, w6, miss)
+        cur = jnp.where(walking & ~land, nxt, cur)
+        return cur, parked, lf, ln, lm, best
+
+    def outer_body(s):
+        s = lax.while_loop(descend_cond, descend_body, s)
+        cur, parked, lf, ln, lm, best = s
+        on = (cur >= 0) & parked
         t_acc, tri_acc = best.t, best.tri
-        leaf_on = enter & is_leaf
         for i in range(max_leaf):
-            live = leaf_on & (i < ntris)
-            tri = jnp.where(live, w6 + i, 0)
-            trow = scene.tri_packed[tri]  # (R, 18)
+            live = on & (i < ln)
+            tri = jnp.where(live, lf + i, 0)
+            trow = scene.tri_packed[tri]  # (R, 18) exact
             ok, t, _, _ = _mt_single(
                 ro, rd,
                 trow[:, 0:3], trow[:, 3:6], trow[:, 6:9],
@@ -299,14 +341,12 @@ def _bvh_traverse(
             win = live & ok & (t < t_acc)
             t_acc = jnp.where(win, t, t_acc)
             tri_acc = jnp.where(win, tri, tri_acc)
+        cur = jnp.where(on, lm, cur)
+        parked = parked & ~on
+        return cur, parked, lf, ln, lm, _LocalBest(t=t_acc, tri=tri_acc)
 
-        descend = enter & ~is_leaf
-        nxt = jnp.where(descend, w6, miss)
-        nxt = jnp.where(active, nxt, -1)
-        return nxt, _LocalBest(t=t_acc, tri=tri_acc)
-
-    _, best = lax.while_loop(cond, body, (cur, best))
-    return best
+    final = lax.while_loop(outer_cond, outer_body, state0)
+    return final[5]
 
 
 # ---------------------------------------------------------------------------
@@ -464,6 +504,7 @@ def _transformed_mesh_pass(
         t_limit = best.dst / safe * _F32(1.001)
         lb = _bvh_traverse(
             scene, scene.mesh_root[i], lo, ld, cull, scene.max_leaf_tris,
+            qmin=scene.mesh_qmin[i], qscale=scene.mesh_qscale[i],
             t_limit=t_limit,
         )
 

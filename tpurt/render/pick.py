@@ -53,7 +53,8 @@ def pick_mesh(
             lb = _bruteforce_range(scene, lo, ld, first, count, cull)
         else:
             lb = _bvh_traverse(
-                scene, scene.mesh_root[i], lo, ld, cull, scene.max_leaf_tris
+                scene, scene.mesh_root[i], lo, ld, cull, scene.max_leaf_tris,
+                qmin=scene.mesh_qmin[i], qscale=scene.mesh_qscale[i],
             )
         valid, point_l, _, _ = _finalize_local(scene, lo, ld, lb, cull)
         valid &= scale > EPSILON

@@ -26,6 +26,16 @@ from typing import Dict, List, Optional, Tuple
 import numpy as np
 
 from tpurt.accel.bvh import BVHNodes, build_bvh, bvh_stats, thread_links
+
+
+def _subtree_indices(child, ntris, root):
+    stack = [int(root)]
+    while stack:
+        idx = stack.pop()
+        yield idx
+        if ntris[idx] == 0:
+            stack.append(int(child[idx]))
+            stack.append(int(child[idx]) + 1)
 from tpurt.config import CORNELL_BREATHING_ROOM
 from tpurt.scene.obj import load_obj as _load_obj_file
 from tpurt.scene.obj import parse_obj
@@ -245,21 +255,70 @@ class SceneBuilder:
         roots = [m.node_idx for m in self.meshes]
         hit, miss = thread_links(child, ntris, sorted(set(roots)))
 
-        # Gather-packed node rows (see Scene.node_packed).
+        # Gather-packed quantised node rows (see Scene.node_q).
         m_nodes = len(ntris)
         assert m_nodes < (1 << 24), "node count exceeds packed miss-link field"
         assert ntris.max(initial=0) < (1 << 8), (
             "leaf size exceeds packed field; lower the builder leaf cap"
         )
-        node_packed = np.zeros((m_nodes, 8), np.float32)
-        node_packed[:, 0:3] = np.asarray(bmin, np.float32).reshape(m_nodes, 3)
-        node_packed[:, 3:6] = np.asarray(bmax, np.float32).reshape(m_nodes, 3)
         w6 = np.where(ntris == 0, hit.astype(np.int64), first).astype(np.int32)
         w7 = ((miss.astype(np.int64) + 1) | (ntris.astype(np.int64) << 24)).astype(
             np.int32
         )
-        node_packed[:, 6] = w6.view(np.float32)
-        node_packed[:, 7] = w7.view(np.float32)
+        bmin_arr = np.asarray(bmin, np.float32).reshape(m_nodes, 3)
+        bmax_arr = np.asarray(bmax, np.float32).reshape(m_nodes, 3)
+
+        # Per-root uint16 quantisation grids. Conservative by
+        # construction: decoded lo <= true lo and decoded hi >= true hi
+        # (verified and fixed up element-wise below), so traversal can
+        # only over-visit, never miss.
+        unique_roots = sorted({m.node_idx for m in self.meshes})
+        qlo = np.zeros((m_nodes, 3), np.uint16)
+        qhi = np.zeros((m_nodes, 3), np.uint16)
+        root_params = {}
+        for root in unique_roots:
+            members = list(_subtree_indices(child, ntris, root))
+            gmin = bmin_arr[root].astype(np.float64)
+            gmax = bmax_arr[root].astype(np.float64)
+            scale = (gmax - gmin) / 65535.0
+            safe = np.where(scale > 0, scale, 1.0)
+            sub_lo = bmin_arr[members].astype(np.float64)
+            sub_hi = bmax_arr[members].astype(np.float64)
+            ql = np.clip(np.floor((sub_lo - gmin) / safe), 0, 65535)
+            qh = np.clip(np.ceil((sub_hi - gmin) / safe), 0, 65535)
+            # Fix-up against float32 decode rounding.
+            f32 = lambda x: x.astype(np.float32).astype(np.float64)
+            gmin32, scale32 = f32(gmin), f32(np.where(scale > 0, scale, 0.0))
+            for _ in range(3):
+                dec_lo = gmin32 + ql * scale32
+                ql = np.where(dec_lo > sub_lo, np.maximum(ql - 1, 0), ql)
+                dec_hi = gmin32 + qh * scale32
+                qh = np.where(
+                    (dec_hi < sub_hi) & (scale32 > 0), np.minimum(qh + 1, 65535), qh
+                )
+            qlo[members] = ql.astype(np.uint16)
+            qhi[members] = qh.astype(np.uint16)
+            root_params[root] = (
+                gmin.astype(np.float32),
+                np.where(scale > 0, scale, 0.0).astype(np.float32),
+            )
+
+        node_q = np.zeros((m_nodes, 5), np.float32)
+        q32 = lambda lo16, hi16: (
+            lo16.astype(np.uint32) | (hi16.astype(np.uint32) << 16)
+        ).view(np.float32)
+        node_q[:, 0] = q32(qlo[:, 0], qlo[:, 1])
+        node_q[:, 1] = q32(qlo[:, 2], qhi[:, 0])
+        node_q[:, 2] = q32(qhi[:, 1], qhi[:, 2])
+        node_q[:, 3] = w6.view(np.float32)
+        node_q[:, 4] = w7.view(np.float32)
+
+        if self.meshes:
+            mesh_qmin = np.stack([root_params[m.node_idx][0] for m in self.meshes])
+            mesh_qscale = np.stack([root_params[m.node_idx][1] for m in self.meshes])
+        else:
+            mesh_qmin = np.zeros((0, 3), np.float32)
+            mesh_qscale = np.zeros((0, 3), np.float32)
 
         tri_packed = np.concatenate(
             [tri_pos.reshape(-1, 9), tri_nrm.reshape(-1, 9)], axis=1
@@ -285,8 +344,10 @@ class SceneBuilder:
             node_ntris=jnp.asarray(ntris.astype(np.int32)),
             node_hit=jnp.asarray(hit),
             node_miss=jnp.asarray(miss),
-            node_packed=jnp.asarray(node_packed),
+            node_q=jnp.asarray(node_q),
             tri_packed=jnp.asarray(tri_packed),
+            mesh_qmin=jnp.asarray(mesh_qmin),
+            mesh_qscale=jnp.asarray(mesh_qscale),
             mesh_root=jnp.asarray(mesh_root),
             mesh_pos=jnp.asarray(mesh_pos),
             mesh_pitch=jnp.asarray(f32(lambda m: m.pitch)),

@@ -67,15 +67,22 @@ class Scene:
     node_hit: jnp.ndarray  # (M,) i32
     node_miss: jnp.ndarray  # (M,) i32
 
-    # Gather-packed mirrors for the traversal hot loop. TPU gathers pay
-    # per gather OP (~1 row/cycle), not per byte, so the walk fetches ONE
-    # (8,) row per step instead of ~10 scalar gathers:
-    #   node_packed[:, 0:3] bounds min, [3:6] bounds max,
-    #   [6] bitcast i32: first child (internal) / first triangle (leaf),
-    #   [7] bitcast i32: (miss_link + 1) | (num_tris << 24).
-    # tri_packed rows: pa pb pc na nb nc (18 floats).
-    node_packed: jnp.ndarray  # (M, 8) f32
+    # Gather-packed mirrors for the traversal hot loop. TPU gathers run
+    # at only a few Gelement/s (measured ~2-7 on v5e via XLA), so the
+    # walk's cost is the number of gathered ELEMENTS per step. Node rows
+    # are 5 floats: AABB bounds quantised to uint16 on a per-mesh grid
+    # (conservative — decoded boxes always contain the true box, so
+    # traversal may visit slightly more nodes but images are identical;
+    # hits come only from exact triangle tests):
+    #   [0] qx_lo | qy_lo<<16   [1] qz_lo | qx_hi<<16   [2] qy_hi | qz_hi<<16
+    #   [3] bitcast i32: first child (internal) / first triangle (leaf)
+    #   [4] bitcast i32: (miss_link + 1) | (num_tris << 24)
+    # Decode: bound = mesh_qmin + q * mesh_qscale (per-mesh grid params).
+    # tri_packed rows stay exact f32: pa pb pc na nb nc (18 floats).
+    node_q: jnp.ndarray  # (M, 5) f32
     tri_packed: jnp.ndarray  # (T, 18) f32
+    mesh_qmin: jnp.ndarray  # (K, 3) f32 quantisation grid origin
+    mesh_qscale: jnp.ndarray  # (K, 3) f32 quantisation cell size
 
     # Mesh instances (K).
     mesh_root: jnp.ndarray  # (K,) i32 BVH root node per mesh
