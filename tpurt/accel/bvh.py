@@ -139,6 +139,7 @@ def _split(
     parent: int,
     depth: int,
     leaf_cap: int = 0,
+    aux: np.ndarray = None,
 ) -> None:
     """SplitBVH (readobj.hpp:206-267), stable-partition variant.
 
@@ -184,6 +185,8 @@ def _split(
     order = np.concatenate([np.nonzero(in_a)[0], np.nonzero(~in_a)[0]])
     tri_pos[f : f + n] = seg[order]
     tri_nrm[f : f + n] = tri_nrm[f : f + n][order]
+    if aux is not None:
+        aux[f : f + n] = aux[f : f + n][order]
 
     amin, amax = _tri_bounds(tri_pos[f : f + na])
     bmin_b, bmax_b = _tri_bounds(tri_pos[f + na : f + n])
@@ -193,15 +196,15 @@ def _split(
     nodes.ntris[parent] = 0  # becomes internal (readobj.hpp:249)
     nodes.append(amin, amax, 0, f, na)
     nodes.append(bmin_b, bmax_b, 0, f + na, n - na)
-    _split(nodes, tri_pos, tri_nrm, child, depth - 1, leaf_cap)
-    _split(nodes, tri_pos, tri_nrm, child + 1, depth - 1, leaf_cap)
+    _split(nodes, tri_pos, tri_nrm, child, depth - 1, leaf_cap, aux)
+    _split(nodes, tri_pos, tri_nrm, child + 1, depth - 1, leaf_cap, aux)
 
 
 #: Default leaf-size cap: bounds the traversal's masked leaf loop (every
 #: leaf-drain step pays max_leaf triangle-row gathers across ALL lanes,
-#: so one fat leaf anywhere taxes the whole scene) and fits the packed
-#: node's 8-bit triangle count.
-DEFAULT_LEAF_CAP = 4
+#: so one fat leaf anywhere taxes the whole scene) and matches the two
+#: inline triangle slots of the megakernel's fat node rows.
+DEFAULT_LEAF_CAP = 2
 
 
 def build_bvh(
@@ -212,14 +215,16 @@ def build_bvh(
     num_tris: int,
     max_depth: int = 64,
     leaf_cap: int = DEFAULT_LEAF_CAP,
+    aux: np.ndarray = None,
 ) -> int:
     """Build a BVH over tri_pos[first : first+num] in place; returns the
     root node index. max_depth=64 matches loadMeshFromOBJFile
     (readobj.hpp:367); quads use the SplitBVH default of 10
-    (readobj.hpp:392, a no-op at 2 triangles)."""
+    (readobj.hpp:392, a no-op at 2 triangles). ``aux`` (optional, same
+    length) is permuted alongside the triangles (e.g. owner-mesh ids)."""
     bmin, bmax = _tri_bounds(tri_pos[first_tri : first_tri + num_tris])
     root = nodes.append(bmin, bmax, 0, first_tri, num_tris)
-    _split(nodes, tri_pos, tri_nrm, root, max_depth, leaf_cap)
+    _split(nodes, tri_pos, tri_nrm, root, max_depth, leaf_cap, aux)
     return root
 
 

@@ -82,9 +82,17 @@ class RenderConfig:
     #: (each bounce keeps ~a dozen per-ray f32 lanes alive).
     rays_per_batch: int = 65536
 
+    #: Integrator engine. ``"mega"`` is the persistent-lane megakernel
+    #: (one flattened while_loop; the TPU fast path). ``"modular"`` is
+    #: the readable nested-loop engine used as its cross-check. Both are
+    #: bit-exact against the scalar oracle and each other.
+    engine: str = "mega"
+
     def __post_init__(self) -> None:
         if self.seed_mode not in ("reference", "decorrelated"):
             raise ValueError(f"unknown seed_mode: {self.seed_mode!r}")
+        if self.engine not in ("mega", "modular"):
+            raise ValueError(f"unknown engine: {self.engine!r}")
         if self.width <= 0 or self.height <= 0:
             raise ValueError("image dimensions must be positive")
         if self.rays_per_pixel <= 0:

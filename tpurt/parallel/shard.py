@@ -79,6 +79,7 @@ def _render_sharded_impl(
             seed_mode=cfg.seed_mode, invisible_budget=cfg.invisible_budget,
             bruteforce_threshold=cfg.bruteforce_threshold,
             subpixel_jitter=cfg.subpixel_jitter,
+            engine=cfg.engine,
         )
         if n_sample > 1:
             # Mean of per-shard means over equal shares == global mean.

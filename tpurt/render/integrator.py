@@ -1,29 +1,22 @@
-"""Monte-Carlo path integrator: the bounce loop.
+"""Monte-Carlo path integrator: the modular bounce loop.
 
 Vectorised transcription of Trace (src/Trace.cl:487-594) over ray
-lanes. Control flow becomes masks; every lane consumes exactly the RNG
-draws the reference's scalar branches would (masked draws advance the
-state only where the branch fires), so per-pixel streams match the
-reference bit-for-bit:
+lanes: a lax.while_loop whose body intersects the full scene and then
+applies the shared material shading step (render/shading.py — the one
+transcription of the reference's branch semantics, also used by the
+megakernel engine). Control flow becomes masks; every lane consumes
+exactly the RNG draws the reference's scalar branches would, so
+per-pixel streams match the reference bit-for-bit.
 
-  branch            draws                                 ref
-  Checker           RandomValue + RandomDirection (7)     Trace.cl:509-533
-  Glassy            rand01 (1)                            Trace.cl:534-558
-  Solid             RandomValue + RandomDirection (7)     Trace.cl:559-572
-  OneSided / other  none (direction passes through)       Trace.cl:507-508
-  Invisible         none; does NOT count as a bounce      Trace.cl:502-506
-  Russian roulette  rand01 when bounceCount > 3           Trace.cl:583-590
+The Invisible pass-through makes the reference's while loop unbounded
+(Trace.cl:502-506); here the loop carries a global iteration counter
+capped at max_bounces + invisible_budget so a masked loop always
+terminates (see RenderConfig.invisible_budget).
 
-The Invisible pass-through makes the reference's while loop unbounded;
-here the lax.while_loop carries a global iteration counter capped at
-max_bounces + invisible_budget so a masked loop always terminates (see
-RenderConfig.invisible_budget).
-
-Quirks consciously kept for parity: Glassy's normal-signed origin
-offset is dead code (overwritten by the common origin update,
-Trace.cl:553-554 vs 579-580); the Solid branch's local emittedLight is
-discarded (Trace.cl:570-571); emission accumulates AFTER the Glassy
-throughput weighting but BEFORE the color multiply (Trace.cl:574-582).
+This engine exists for clarity and as the cross-check for the
+megakernel: its per-phase loops are easy to read and test, at the cost
+of synchronising every bounce and every sample across all lanes. The
+megakernel (render/megakernel.py) flattens those loops for speed.
 """
 
 from __future__ import annotations
@@ -33,11 +26,9 @@ from typing import NamedTuple, Tuple
 import jax.numpy as jnp
 from jax import lax
 
-from tpurt.config import EPSILON, IOR_AIR
-from tpurt.core import rng as rnglib
-from tpurt.core.vecmath import fresnel_reflectance, lerp3, normalize3, reflect, refract
 from tpurt.render.intersect import intersect_scene
-from tpurt.scene.types import MaterialType, Scene
+from tpurt.render.shading import shade_hit
+from tpurt.scene.types import Scene
 
 
 class _PathState(NamedTuple):
@@ -91,94 +82,21 @@ def trace_paths(
         return jnp.any(s.active) & (s.iteration < hard_cap)
 
     def body_with_hit(s: _PathState, hit) -> _PathState:
-        midx = jnp.maximum(hit.mesh_idx, 0)
-        mtype = scene.mat_type[midx]
-        color = scene.mat_color[midx]
-        em_color = scene.mat_emission_color[midx]
-        em_strength = scene.mat_emission_strength[midx]
-        refl = scene.mat_reflectiveness[midx]
-        spec_prob = scene.mat_specular_prob[midx]
-        ior = scene.mat_ior[midx]
-
-        a_hit = s.active & hit.valid
-        invisible = a_hit & (mtype == int(MaterialType.INVISIBLE))
-        scatter = a_hit & ~invisible
-
-        # --- Checker cell selection (Trace.cl:509-524) ---
-        is_checker = scatter & (mtype == int(MaterialType.CHECKER))
-        checker_size = jnp.where(em_strength != 0.0, em_strength, 1.0)
-        xi = jnp.floor(hit.point[:, 0] / checker_size).astype(jnp.int32)
-        zi = jnp.floor(hit.point[:, 2] / checker_size).astype(jnp.int32)
-        is_even = ((xi + zi) & 1) == 0
-        checker_color = jnp.where(is_even[:, None], color, em_color)
-        color = jnp.where(is_checker[:, None], checker_color, color)
-        em_strength = jnp.where(is_checker, 0.0, em_strength)
-
-        # --- Diffuse/specular scatter: Checker + Solid (Trace.cl:525-533,559-567) ---
-        mask_cs = is_checker | (scatter & (mtype == int(MaterialType.SOLID)))
-        new_rng, rv = rnglib.random_value_masked(s.rng, mask_cs)
-        new_rng, rdir = rnglib.random_direction_masked(new_rng, mask_cs)
-        is_specular = spec_prob >= rv
-        diffuse_dir = normalize3(hit.normal + rdir)
-        specular_dir = reflect(s.direction, hit.normal)
-        dir_cs = normalize3(
-            lerp3(diffuse_dir, specular_dir, refl * is_specular.astype(jnp.float32))
+        res = shade_hit(
+            scene, s.active,
+            hit.valid, hit.point, hit.normal, hit.backface, hit.mesh_idx,
+            s.origin, s.direction, s.throughput, s.light, s.rng, s.bounces,
+            max_bounces,
         )
-
-        # --- Glassy (Trace.cl:534-558) ---
-        is_glassy = scatter & (mtype == int(MaterialType.GLASSY))
-        ior_cur = jnp.where(hit.backface, ior, IOR_AIR)
-        ior_next = jnp.where(hit.backface, IOR_AIR, ior)
-        reflect_dir = reflect(s.direction, hit.normal)
-        refract_dir = refract(s.direction, hit.normal, ior_cur, ior_next)
-        reflect_w = fresnel_reflectance(s.direction, hit.normal, ior_cur, ior_next)
-        new_rng, r01 = rnglib.rand01_masked(new_rng, is_glassy)
-        will_reflect = r01 < reflect_w
-        dir_glassy = jnp.where(will_reflect[:, None], reflect_dir, refract_dir)
-        glassy_w = jnp.where(will_reflect, reflect_w, 1.0 - reflect_w)
-
-        new_dir = jnp.where(
-            is_glassy[:, None],
-            dir_glassy,
-            jnp.where(mask_cs[:, None], dir_cs, s.direction),
-        )
-        throughput = s.throughput * jnp.where(is_glassy, glassy_w, 1.0)[:, None]
-
-        # --- Common tail (Trace.cl:574-591) ---
-        emission = em_color * em_strength[:, None]
-        light = s.light + jnp.where(scatter[:, None], throughput * emission, 0.0)
-        origin = jnp.where(
-            scatter[:, None], hit.point + new_dir * EPSILON, s.origin
-        )
-        origin = jnp.where(
-            invisible[:, None], hit.point + s.direction * EPSILON, origin
-        )
-        throughput = throughput * jnp.where(scatter[:, None], color, 1.0)
-
-        # Russian roulette after bounce 3 (Trace.cl:583-590).
-        p = jnp.max(throughput, axis=-1)
-        rr = scatter & (s.bounces > 3)
-        q = jnp.maximum(0.05, 1.0 - p)
-        new_rng, r01_rr = rnglib.rand01_masked(new_rng, rr)
-        killed = rr & (r01_rr < q)
-        throughput = jnp.where(
-            (rr & ~killed)[:, None], throughput / (1.0 - q)[:, None], throughput
-        )
-
-        bounces = s.bounces + scatter.astype(jnp.int32)
-        active = a_hit & ~killed & (bounces < max_bounces)
-        # Invisible lanes stay active without spending a bounce; miss
-        # lanes (active & ~hit.valid) break (Trace.cl:497-501).
-
         return _PathState(
-            origin=origin,
-            direction=jnp.where(scatter[:, None], new_dir, s.direction),
-            throughput=throughput,
-            light=light,
-            rng=new_rng,
-            bounces=bounces,
+            origin=res.origin,
+            direction=res.direction,
+            throughput=res.throughput,
+            light=res.light,
+            rng=res.rng,
+            bounces=res.bounces,
             segments=s.segments + s.active.astype(jnp.int32),
-            active=active,
+            active=s.active & res.continuing,
             iteration=s.iteration + 1,
         )
 

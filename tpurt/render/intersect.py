@@ -230,11 +230,21 @@ def _bruteforce_indices(
 
 def _aabb(ro, invd, bmin, bmax):
     """Slab test (RayBoundingBox, Trace.cl:259-274): hit iff
-    tmax >= max(tmin, 0); also returns tmin as the entry distance."""
+    tmax >= max(tmin, 0); also returns tmin as the entry distance.
+
+    NaN-robust-conservative: a ray lying exactly in the plane of a box
+    face yields 0 * inf = NaN slab distances; the reference inherits
+    whatever its GPU's fast-math does (a silent miss on most). Here NaNs
+    widen to (-inf, +inf) so such rays TOUCH the box — an AABB is a
+    pruning structure and must never reject a hit the exact triangle
+    test would accept (keeps every engine and the brute-force oracle in
+    exact agreement)."""
     t0 = (bmin - ro) * invd
     t1 = (bmax - ro) * invd
     tsm = jnp.minimum(t0, t1)
     tbg = jnp.maximum(t0, t1)
+    tsm = jnp.where(jnp.isnan(tsm), -jnp.inf, tsm)
+    tbg = jnp.where(jnp.isnan(tbg), jnp.inf, tbg)
     tmin = jnp.max(tsm, axis=-1)
     tmax = jnp.min(tbg, axis=-1)
     return tmax >= jnp.maximum(tmin, 0.0), tmin

@@ -49,6 +49,7 @@ def _tile_pixel_coords(tile_h: int, tile_w: int, x0, y0):
     static_argnames=(
         "tile_h", "tile_w", "width", "height", "rays_per_pixel", "max_bounces",
         "seed_mode", "invisible_budget", "bruteforce_threshold", "subpixel_jitter",
+        "engine",
     ),
 )
 def _render_tile_impl(
@@ -69,9 +70,24 @@ def _render_tile_impl(
     invisible_budget: int,
     bruteforce_threshold: int,
     subpixel_jitter: bool,
+    engine: str = "mega",
 ) -> jnp.ndarray:
     xs, ys = _tile_pixel_coords(tile_h, tile_w, x0, y0)
     pixel_index = ys.astype(jnp.uint32) * jnp.uint32(width) + xs.astype(jnp.uint32)
+
+    if engine == "mega":
+        from tpurt.render.megakernel import run_megakernel
+
+        uv = pixel_uv(xs, ys, width, height)
+        ro0, rd0 = make_ray(camera, uv)
+        mean, segs = run_megakernel(
+            scene, ro0, rd0, pixel_index, jnp.int32(frame_index),
+            rays_per_pixel=rays_per_pixel, max_bounces=max_bounces,
+            seed_mode=seed_mode, invisible_budget=invisible_budget,
+            sample_offset=sample_offset, subpixel_jitter=subpixel_jitter,
+            camera=camera, width=width, height=height,
+        )
+        return mean.reshape(tile_h, tile_w, 3), segs
 
     def camera_rays(sample_idx):
         uv = pixel_uv(xs, ys, width, height)
@@ -185,6 +201,7 @@ def render_tile_with_stats(
         seed_mode=cfg.seed_mode, invisible_budget=cfg.invisible_budget,
         bruteforce_threshold=cfg.bruteforce_threshold,
         subpixel_jitter=cfg.subpixel_jitter,
+        engine=cfg.engine,
     )
 
 

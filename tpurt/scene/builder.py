@@ -36,6 +36,97 @@ def _subtree_indices(child, ntris, root):
         if ntris[idx] == 0:
             stack.append(int(child[idx]))
             stack.append(int(child[idx]) + 1)
+
+
+def _quantize_boxes(lo, hi, gmin, gmax):
+    """Conservative uint16 quantisation of boxes onto the grid spanned
+    by [gmin, gmax]: decoded boxes always contain the originals."""
+    lo64 = np.asarray(lo, np.float64).reshape(-1, 3)
+    hi64 = np.asarray(hi, np.float64).reshape(-1, 3)
+    gmin64 = np.asarray(gmin, np.float64)
+    scale = (np.asarray(gmax, np.float64) - gmin64) / 65535.0
+    safe = np.where(scale > 0, scale, 1.0)
+    ql = np.clip(np.floor((lo64 - gmin64) / safe), 0, 65535)
+    qh = np.clip(np.ceil((hi64 - gmin64) / safe), 0, 65535)
+    scale32 = np.where(scale > 0, scale, 0.0).astype(np.float32)
+    gmin32 = gmin64.astype(np.float32)
+    dec = lambda q: gmin32.astype(np.float64) + q * scale32.astype(np.float64)
+    for _ in range(3):  # fix against float32 decode rounding
+        ql = np.where(dec(ql) > lo64, np.maximum(ql - 1, 0), ql)
+        qh = np.where((dec(qh) < hi64) & (scale32 > 0), np.minimum(qh + 1, 65535), qh)
+    return ql.astype(np.uint16), qh.astype(np.uint16), gmin32, scale32
+
+
+def _pack_q_words(qlo, qhi):
+    """6 uint16 -> 3 float32 words (bitcast)."""
+    q32 = lambda a, b: (a.astype(np.uint32) | (b.astype(np.uint32) << 16)).view(
+        np.float32
+    )
+    return (
+        q32(qlo[:, 0], qlo[:, 1]),
+        q32(qlo[:, 2], qhi[:, 0]),
+        q32(qhi[:, 1], qhi[:, 2]),
+    )
+
+
+def _emit_mega_subtree(rows, nodes, root, tri_pos, tri_nrm, tri_mesh, gmin32, scale32):
+    """Emit a BVH subtree as 43-float megakernel rows (DFS pre-order:
+    first child == parent row + 1). Returns the new root row index."""
+    bmin, bmax, child, first, ntris = nodes
+
+    sizes = {}
+
+    def size(i):
+        if i not in sizes:
+            sizes[i] = 1 if ntris[i] > 0 else (
+                1 + size(int(child[i])) + size(int(child[i]) + 1)
+            )
+        return sizes[i]
+
+    def q_words(i):
+        lo64 = np.asarray(bmin[i], np.float64)
+        hi64 = np.asarray(bmax[i], np.float64)
+        safe = np.where(scale32 > 0, scale32.astype(np.float64), 1.0)
+        ql = np.clip(np.floor((lo64 - gmin32) / safe), 0, 65535)
+        qh = np.clip(np.ceil((hi64 - gmin32) / safe), 0, 65535)
+        dec = lambda q: gmin32.astype(np.float64) + q * scale32.astype(np.float64)
+        for _ in range(3):
+            ql = np.where(dec(ql) > lo64, np.maximum(ql - 1, 0), ql)
+            qh = np.where(
+                (dec(qh) < hi64) & (scale32 > 0), np.minimum(qh + 1, 65535), qh
+            )
+        ql, qh = ql.astype(np.uint32), qh.astype(np.uint32)
+        w = lambda a, b: np.array(a | (b << 16), np.uint32).view(np.float32)
+        return w(ql[0], ql[1]), w(ql[2], qh[0]), w(qh[1], qh[2])
+
+    i32f = lambda v: np.array(v, np.int32).view(np.float32)
+
+    def emit(i, exit_row):
+        my = len(rows)
+        n = int(ntris[i])
+        assert n <= 2, "megakernel rows hold at most 2 inline triangles"
+        row = np.zeros(43, np.float32)
+        row[0], row[1], row[2] = q_words(i)
+        row[4] = i32f((exit_row + 1) | (n << 24))
+        rows.append(row)
+        if n == 0:
+            a = int(child[i])
+            row[3] = i32f(my + 1)
+            b_row = my + 1 + size(a)
+            emit(a, b_row)
+            emit(a + 1, exit_row)
+        else:
+            for k in range(n):
+                t = int(first[i]) + k
+                base = 5 + 19 * k
+                row[base : base + 9] = np.asarray(tri_pos[t], np.float32).reshape(9)
+                row[base + 9 : base + 18] = np.asarray(
+                    tri_nrm[t], np.float32
+                ).reshape(9)
+                row[base + 18] = i32f(-1 if tri_mesh is None else int(tri_mesh[t]))
+        return my
+
+    return emit(root, -1)
 from tpurt.config import CORNELL_BREATHING_ROOM
 from tpurt.scene.obj import load_obj as _load_obj_file
 from tpurt.scene.obj import parse_obj
@@ -324,6 +415,86 @@ class SceneBuilder:
             [tri_pos.reshape(-1, 9), tri_nrm.reshape(-1, 9)], axis=1
         ).astype(np.float32)
 
+        # --- megakernel arrays (see Scene.mega_rows) -------------------
+        mega_rows_list: List[np.ndarray] = []
+        chain: List[Tuple[int, int]] = []
+        q_params: List[Tuple[np.ndarray, np.ndarray]] = []
+        nodes_tuple = (bmin_arr, bmax_arr, child, first, ntris)
+
+        static_members = [
+            i
+            for i, m in enumerate(self.meshes)
+            if self.meshes[i].num_tris > 0
+            and tuple(np.asarray(m.pos, np.float64).tolist()) == (0.0, 0.0, 0.0)
+            and float(m.pitch) == 0.0 and float(m.yaw) == 0.0
+            and float(m.roll) == 0.0 and float(m.scale) == 1.0
+            and int(m.material.type) != int(MaterialType.ONE_SIDED)
+        ]
+        if static_members:
+            s_pos = np.concatenate(
+                [tri_pos[m.first_tri : m.first_tri + m.num_tris]
+                 for m in (self.meshes[i] for i in static_members)]
+            ).copy()
+            s_nrm = np.concatenate(
+                [tri_nrm[m.first_tri : m.first_tri + m.num_tris]
+                 for m in (self.meshes[i] for i in static_members)]
+            ).copy()
+            s_mesh = np.concatenate(
+                [np.full(self.meshes[i].num_tris, i, np.int64)
+                 for i in static_members]
+            )
+            s_nodes = BVHNodes.empty()
+            s_root = build_bvh(
+                s_nodes, s_pos, s_nrm, 0, len(s_pos), 64, leaf_cap=2, aux=s_mesh
+            )
+            sb_min, sb_max, sb_child, sb_first, sb_ntris = s_nodes.as_arrays()
+            gmin32 = sb_min[s_root].astype(np.float32)
+            scale64 = (sb_max[s_root].astype(np.float64) - gmin32) / 65535.0
+            scale32 = np.where(scale64 > 0, scale64, 0.0).astype(np.float32)
+            root_row = _emit_mega_subtree(
+                mega_rows_list,
+                (sb_min, sb_max, sb_child, sb_first, sb_ntris),
+                s_root, s_pos, s_nrm, s_mesh, gmin32, scale32,
+            )
+            chain.append((-1, root_row))
+            q_params.append((gmin32, scale32))
+
+        emitted_roots: Dict[int, Tuple[int, np.ndarray, np.ndarray]] = {}
+        for i, m in enumerate(self.meshes):
+            if i in static_members or m.num_tris == 0:
+                continue
+            if m.node_idx in emitted_roots:
+                root_row, gmin32, scale32 = emitted_roots[m.node_idx]
+            else:
+                gmin32 = bmin_arr[m.node_idx].astype(np.float32)
+                scale64 = (
+                    bmax_arr[m.node_idx].astype(np.float64) - gmin32
+                ) / 65535.0
+                scale32 = np.where(scale64 > 0, scale64, 0.0).astype(np.float32)
+                root_row = _emit_mega_subtree(
+                    mega_rows_list, nodes_tuple, m.node_idx,
+                    tri_pos, tri_nrm, None, gmin32, scale32,
+                )
+                emitted_roots[m.node_idx] = (root_row, gmin32, scale32)
+            chain.append((i, root_row))
+            q_params.append((gmin32, scale32))
+
+        mega_rows = (
+            np.stack(mega_rows_list)
+            if mega_rows_list
+            else np.zeros((1, 43), np.float32)
+        )
+        mega_qmin = (
+            np.stack([p[0] for p in q_params])
+            if q_params
+            else np.zeros((1, 3), np.float32)
+        )
+        mega_qscale = (
+            np.stack([p[1] for p in q_params])
+            if q_params
+            else np.zeros((1, 3), np.float32)
+        )
+
         k = len(self.meshes)
         mesh_root = np.asarray(roots, np.int32)
         mesh_pos = np.asarray([m.pos for m in self.meshes], np.float32).reshape(k, 3)
@@ -348,6 +519,9 @@ class SceneBuilder:
             tri_packed=jnp.asarray(tri_packed),
             mesh_qmin=jnp.asarray(mesh_qmin),
             mesh_qscale=jnp.asarray(mesh_qscale),
+            mega_rows=jnp.asarray(mega_rows),
+            mega_qmin=jnp.asarray(mega_qmin),
+            mega_qscale=jnp.asarray(mega_qscale),
             mesh_root=jnp.asarray(mesh_root),
             mesh_pos=jnp.asarray(mesh_pos),
             mesh_pitch=jnp.asarray(f32(lambda m: m.pitch)),
@@ -370,6 +544,7 @@ class SceneBuilder:
                 [m.specular_probability for m in mats], jnp.float32
             ),
             max_leaf_tris=max(max_leaf, 1),
+            mega_chain=tuple(chain),
             mesh_tri_ranges=tuple((m.first_tri, m.num_tris) for m in self.meshes),
             mesh_mat_types=tuple(int(m.material.type) for m in self.meshes),
             mesh_identity=tuple(

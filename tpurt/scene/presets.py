@@ -28,13 +28,20 @@ def _model_for(builder: SceneBuilder, cfg: RenderConfig) -> MeshHandle:
         return builder.load_obj(path)
     # Procedural stand-ins when no OBJ is on disk, keyed by name.
     name = os.path.splitext(os.path.basename(path or ""))[0]
+    # Radius 96 (not a round 100): with the driver's scale 0.5 and the
+    # 100-unit breathing room, a 100-radius model puts the Cornell
+    # ceiling EXACTLY at the default camera height (y = 150), making the
+    # whole horizon pixel row degenerate (rays exactly in box/triangle
+    # planes — knife-edge cases where different float summation orders
+    # legitimately disagree by 1 ulp). 96 keeps the scene comparable
+    # while avoiding the manufactured degeneracy.
     if name in ("knot", "torus_knot"):
         pos, nrm = procedural.torus_knot(segments=192, sides=24, radius=80.0, tube=22.0)
     elif name.startswith("sphere"):
         sub = int(name[len("sphere"):] or 3)
-        pos, nrm = procedural.icosphere(subdivisions=sub, radius=100.0)
+        pos, nrm = procedural.icosphere(subdivisions=sub, radius=96.0)
     else:  # default stand-in for knight.obj: mid-poly sphere
-        pos, nrm = procedural.icosphere(subdivisions=3, radius=100.0)
+        pos, nrm = procedural.icosphere(subdivisions=3, radius=96.0)
     return builder.add_triangles(pos, nrm)
 
 
