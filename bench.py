@@ -64,8 +64,13 @@ def build_scene(kind: str, cfg):
 
 def time_render(scene, cam, cfg, repeats=2):
     """Returns (seconds, total_segments, radiance) for one full frame,
-    compile excluded (one warmup tile), best of `repeats`."""
-    import jax
+    compile excluded (one warmup tile), best of `repeats`.
+
+    Every tile's outputs are materialised to host INSIDE the timed
+    region: on the axon backend block_until_ready can return before the
+    work drains, so only actual D2H copies are trustworthy (and a real
+    render needs the pixels on the host anyway)."""
+    import numpy as np
     from tpurt.render.renderer import render_tile_with_stats
 
     ts = cfg.tile_size
@@ -73,24 +78,25 @@ def time_render(scene, cam, cfg, repeats=2):
 
     # Warmup / compile.
     r, s = render_tile_with_stats(scene, cam, cfg, 0, 0, ts, ts)
-    jax.block_until_ready((r, s))
+    _ = float(s) + float(np.asarray(r).sum())
 
     best = None
     for _ in range(repeats):
         t0 = time.perf_counter()
         total_seg = 0.0
-        outs = []
+        first = None
         for ty in range(tiles_y):
             for tx in range(tiles_x):
                 r, s = render_tile_with_stats(
                     scene, cam, cfg, tx * ts, ty * ts, ts, ts
                 )
-                outs.append((r, s))
-        jax.block_until_ready(outs)
+                total_seg += float(s)
+                r_host = np.asarray(r)
+                if first is None:
+                    first = r_host
         dt = time.perf_counter() - t0
-        total_seg = float(sum(float(s) for _, s in outs))
         if best is None or dt < best[0]:
-            best = (dt, total_seg, outs[0][0])
+            best = (dt, total_seg, first)
     return best
 
 
@@ -140,12 +146,13 @@ def main():
             "parity-512", "sphere",
             RenderConfig(width=512, height=512, rays_per_pixel=4,
                          max_bounces=8, **common)))
-        # Config 2: low-poly brute force, 720p.
+        # Config 2: low-poly brute force, 720p (the modular engine's
+        # dense-sweep path, per the BASELINE config definition).
         results.append(run_config(
             "teapot-720p-bruteforce", "teapot",
             RenderConfig(width=1280, height=720, rays_per_pixel=args.spp,
                          max_bounces=4, bruteforce_threshold=1 << 30,
-                         **common)))
+                         engine="modular", **common)))
         # Config 4: Cornell 256 spp accumulation at lower res.
         results.append(run_config(
             "cornell-256spp", "sphere",

@@ -202,18 +202,42 @@ class SceneBuilder:
     ) -> MeshHandle:
         """Append a triangle soup, build its BVH, return an (un-added)
         handle with the reference's default OBJ material (white Solid,
-        readobj.hpp:369-375)."""
+        readobj.hpp:369-375). Large meshes build through the native C++
+        SAH builder when available (identical topology; tpurt/_native)."""
         pos = np.asarray(pos, np.float32).reshape(-1, 3, 3)
         nrm = np.asarray(nrm, np.float32).reshape(-1, 3, 3)
         first = self._append_tris(pos, nrm)
         tri_pos, tri_nrm = self._consolidate()
-        root = build_bvh(self.nodes, tri_pos, tri_nrm, first, pos.shape[0], max_depth)
+        root = self._build_bvh_fast(tri_pos, tri_nrm, first, pos.shape[0], max_depth)
         return MeshHandle(
             node_idx=root,
             material=Material(type=MaterialType.SOLID, color=(1.0, 1.0, 1.0)),
             first_tri=first,
             num_tris=pos.shape[0],
         )
+
+    def _build_bvh_fast(
+        self, tri_pos, tri_nrm, first: int, count: int, max_depth: int
+    ) -> int:
+        """SAH build, native C++ for large meshes, numpy otherwise."""
+        if count >= 512:
+            from tpurt import _native
+            from tpurt.accel.bvh import DEFAULT_LEAF_CAP
+
+            out = _native.build_bvh(
+                tri_pos, tri_nrm, first, count, max_depth, DEFAULT_LEAF_CAP
+            )
+            if out is not None:
+                bmin, bmax, child, nfirst, ntris = out
+                base = len(self.nodes)
+                for i in range(len(ntris)):
+                    self.nodes.append(
+                        bmin[i], bmax[i],
+                        int(child[i]) + base if ntris[i] == 0 else 0,
+                        int(nfirst[i]), int(ntris[i]),
+                    )
+                return base
+        return build_bvh(self.nodes, tri_pos, tri_nrm, first, count, max_depth)
 
     def load_obj(self, path: str) -> MeshHandle:
         """loadMeshFromOBJFile semantics incl. the per-file cache: a

@@ -26,7 +26,16 @@ import numpy as np
 
 
 def parse_obj(text: str, warn=None) -> Tuple[np.ndarray, np.ndarray]:
-    """Parse OBJ text -> (positions (n,3,3) f32, normals (n,3,3) f32)."""
+    """Parse OBJ text -> (positions (n,3,3) f32, normals (n,3,3) f32).
+
+    Large files route through the native C++ parser (identical output,
+    verified by tests; skipped-face warnings are then elided)."""
+    if warn is None and len(text) > 1 << 17:
+        from tpurt import _native
+
+        out = _native.parse_obj(text)
+        if out is not None:
+            return out
     if warn is None:
         warn = lambda msg: print(msg, file=sys.stderr)
 
