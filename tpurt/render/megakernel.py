@@ -228,6 +228,7 @@ def run_megakernel(
     camera=None,
     width: int = 0,
     height: int = 0,
+    unroll: int = 1,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (mean radiance (R,3), total path segments (scalar f32))."""
     r = ro0.shape[0]
@@ -482,7 +483,16 @@ def run_megakernel(
             c_back=c_back, c_mesh=c_mesh, c_dst=c_dst,
         )
 
-    final = lax.while_loop(cond, body, lane)
+    def body_unrolled(s: _Lane) -> _Lane:
+        # A device-loop iteration carries ~0.2ms fixed overhead on this
+        # backend; running several state-machine steps per iteration
+        # amortises it (the step is a no-op for lanes that retired
+        # mid-unroll, so semantics are unchanged).
+        for _ in range(unroll):
+            s = body(s)
+        return s
+
+    final = lax.while_loop(cond, body_unrolled, lane)
     mean = final.acc / jnp.float32(rays_per_pixel)
     return mean, jnp.sum(final.segments.astype(jnp.float32))
 

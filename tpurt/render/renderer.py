@@ -212,6 +212,7 @@ def render_frame(
     frame_index: int = 0,
     progress=None,
     accumulator=None,
+    retries: int = 1,
 ) -> np.ndarray:
     """Full-frame mean radiance (H, W, 3) float32, single chip.
 
@@ -221,6 +222,12 @@ def render_frame(
     ``progress(done, total)`` is invoked per tile; ``accumulator`` (an
     io.checkpoint.TileAccumulator) receives finished tiles for
     resume/preview support.
+
+    Failure recovery: tile renders are pure and idempotent, so a
+    transient device error retries the tile up to ``retries`` times
+    before propagating (the reference exits fatally on any device
+    error, image.hpp:33-36; with an ``accumulator`` a crashed run
+    additionally resumes from its finished tiles).
     """
     ts = cfg.tile_size
     tiles_x, tiles_y = cfg.tiles()
@@ -237,12 +244,20 @@ def render_frame(
                 if progress is not None:
                     progress(done, tiles_x * tiles_y)
                 continue
-            tile = render_tile(
-                scene, camera, cfg,
-                x0=tx * ts, y0=ty * ts, tile_h=ts, tile_w=ts,
-                frame_index=frame_index,
-            )
-            tile_np = np.asarray(tile)
+            attempt = 0
+            while True:
+                try:
+                    tile = render_tile(
+                        scene, camera, cfg,
+                        x0=tx * ts, y0=ty * ts, tile_h=ts, tile_w=ts,
+                        frame_index=frame_index,
+                    )
+                    tile_np = np.asarray(tile)
+                    break
+                except Exception:
+                    attempt += 1
+                    if attempt > retries:
+                        raise
             h = min(ts, cfg.height - ty * ts)
             w = min(ts, cfg.width - tx * ts)
             out[ty * ts : ty * ts + h, tx * ts : tx * ts + w] = tile_np[:h, :w]
