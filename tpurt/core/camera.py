@@ -20,6 +20,8 @@ from __future__ import annotations
 
 from typing import NamedTuple, Tuple
 
+import numpy as np
+
 import jax.numpy as jnp
 
 from tpurt.core import rng
@@ -27,26 +29,54 @@ from tpurt.core.vecmath import euler_rotation, normalize3, rotate_t
 
 
 class Camera(NamedTuple):
-    """Pytree mirror of CameraInformation (Trace.cl:21-26)."""
+    """Pytree mirror of CameraInformation (Trace.cl:21-26).
 
-    position: jnp.ndarray  # (3,) f32
-    pitch: jnp.ndarray  # scalar f32
-    yaw: jnp.ndarray
-    roll: jnp.ndarray
-    fov_degrees: jnp.ndarray
-    aspect_ratio: jnp.ndarray
+    All parameters pack into ONE (8,) array on purpose: separate 0-d
+    scalar leaves with equal values (pitch == roll == 0 in the default
+    pose) can resolve to the same cached device constant, and the XLA
+    client dedupes same-object executable parameters — making the
+    compiled program's buffer count depend on runtime VALUES and
+    corrupting jit cache hits across camera instances.
+    """
+
+    params: jnp.ndarray  # (8,) f32: pos.xyz, pitch, yaw, roll, fov, aspect
+
+    @property
+    def position(self) -> jnp.ndarray:
+        return self.params[0:3]
+
+    @property
+    def pitch(self) -> jnp.ndarray:
+        return self.params[3]
+
+    @property
+    def yaw(self) -> jnp.ndarray:
+        return self.params[4]
+
+    @property
+    def roll(self) -> jnp.ndarray:
+        return self.params[5]
+
+    @property
+    def fov_degrees(self) -> jnp.ndarray:
+        return self.params[6]
+
+    @property
+    def aspect_ratio(self) -> jnp.ndarray:
+        return self.params[7]
 
     @classmethod
     def create(cls, position, pitch=0.0, yaw=0.0, roll=0.0, fov_degrees=90.0,
                aspect_ratio=1.0) -> "Camera":
-        f32 = jnp.float32
+        position = np.asarray(position, np.float32)
         return cls(
-            position=jnp.asarray(position, jnp.float32),
-            pitch=f32(pitch),
-            yaw=f32(yaw),
-            roll=f32(roll),
-            fov_degrees=f32(fov_degrees),
-            aspect_ratio=f32(aspect_ratio),
+            params=jnp.asarray(
+                np.array(
+                    [position[0], position[1], position[2],
+                     pitch, yaw, roll, fov_degrees, aspect_ratio],
+                    np.float32,
+                )
+            )
         )
 
 

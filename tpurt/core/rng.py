@@ -27,6 +27,8 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import numpy as np
+
 import jax.numpy as jnp
 
 TAU = 6.28318530717958647692  # Trace.cl:5
@@ -36,6 +38,17 @@ _U32 = jnp.uint32
 
 
 def _u32(x) -> jnp.ndarray:
+    """uint32 cast. Host (numpy) values become numpy scalars/arrays on
+    purpose: tiny jnp constants created during tracing land in JAX's
+    value cache as concrete device arrays, and later traces CAPTURE the
+    cached array as an extra executable parameter — which breaks
+    dispatch for executables compiled before the constant existed
+    ('Execution supplied N buffers but compiled program expected N+2').
+    numpy constants embed as literals instead."""
+    if isinstance(x, (int, np.integer)):
+        return np.uint32(x)
+    if isinstance(x, np.ndarray):
+        return x.astype(np.uint32)
     return jnp.asarray(x, dtype=_U32)
 
 
@@ -104,7 +117,7 @@ def random_direction(state: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
 
     v = normalize3(jnp.stack([x, y, z], axis=-1))
     bad = ~jnp.all(jnp.isfinite(v), axis=-1, keepdims=True)
-    fallback = jnp.array([0.0, 1.0, 0.0], dtype=jnp.float32)
+    fallback = np.array([0.0, 1.0, 0.0], dtype=np.float32)  # host constant
     return state, jnp.where(bad, fallback, v)
 
 
@@ -132,8 +145,8 @@ def sample_hemisphere_cosine(
     z = jnp.sqrt(jnp.maximum(0.0, 1.0 - r1))
     up = jnp.where(
         (jnp.abs(normal[..., 2:3]) < 0.999),
-        jnp.array([0.0, 0.0, 1.0], jnp.float32),
-        jnp.array([1.0, 0.0, 0.0], jnp.float32),
+        np.array([0.0, 0.0, 1.0], np.float32),
+        np.array([1.0, 0.0, 0.0], np.float32),
     )
     from tpurt.core.vecmath import cross3, normalize3
 

@@ -70,9 +70,11 @@ def _render_sharded_impl(
         si = lax.axis_index(SAMPLE_AXIS)
         y0 = (ti * rows_per_dev).astype(jnp.int32)
         sample0 = si * jnp.int32(local_spp)
+        coords = jnp.stack(
+            [jnp.int32(0), y0, jnp.asarray(frame_index, jnp.int32), sample0]
+        )
         block, _ = _render_tile_impl(
-            scene, camera,
-            jnp.int32(0), y0, frame_index, sample0,
+            scene, camera, coords,
             tile_h=rows_per_dev, tile_w=cfg.width,
             width=cfg.width, height=cfg.height,
             rays_per_pixel=local_spp, max_bounces=cfg.max_bounces,

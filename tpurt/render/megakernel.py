@@ -1,42 +1,36 @@
-"""Persistent-lane megakernel integrator.
+"""Persistent-lane megakernel integrator over an 8-wide BVH.
 
-The TPU-native fast path. Measured physics of this backend: a device
-loop iteration costs ~0.2ms fixed plus ~200M gathered rows/s, with
-gather row width essentially free. The binding constraint is therefore
-(LOOP ITERATIONS) x (GATHER OPS PER ITERATION) — not FLOPs, not bytes.
+The TPU fast path. Measured physics of this backend: device-loop
+iterations are bound by the gather engine at ~175M gathered ROWS per
+second, independent of row width; elementwise VPU work fused into the
+loop body is nearly free by comparison. The binding constraint is
+therefore (LOOP ITERATIONS) == (ROWS GATHERED PER LANE), which drives
+two design decisions:
 
-The modular engine nests four synchronised loops (samples > bounces >
-meshes > BVH steps); every level syncs ALL lanes to the slowest lane,
-multiplying iteration counts (~10^4 iterations per tile). This engine
-flattens everything into ONE while_loop in which each lane owns its
-entire task — pixel, sample loop, bounce loop, mesh chain, traversal
-cursor — as a per-lane state machine:
+  * ONE while_loop for the whole renderer. Each lane owns its entire
+    task — pixel, sample loop, bounce loop, mesh chain, BVH cursor — as
+    a state machine, so iterations approach the per-lane mean work
+    instead of the product of per-phase maxima that a nested-loop
+    renderer pays (samples > bounces > meshes > traversal all sync to
+    their slowest lane).
+  * 8-WIDE BVH nodes. Row width is free, so each node row carries
+    eight children's uint8-quantised boxes (per-node grid,
+    conservative) and their targets; leaf rows carry both triangles
+    inline, exact f32. Visited rows drop ~2.5-3x versus binary nodes.
+    Traversal keeps a register-file stack of (row, next_slot) entries
+    — a shift chain of selects, no per-lane memory indexing — and
+    re-tests a node's remaining slots on pop, which also re-applies the
+    tightened distance bound for free.
 
-  TRAVERSE:  one fat-row gather (Scene.mega_rows: quantised bounds,
-             links, and the <=2 leaf triangles INLINE) + AABB/MT math.
-             The only gather in the body.
-  NEXT-MESH: on exhausting a chain entry, fold its local winner into
-             the world-space best (LocalToWorldHit semantics,
-             Trace.cl:139-156, incl. the per-mesh OneSided backface
-             rejection, Trace.cl:466-471) and enter the next entry
-             (WorldToLocalRay, Trace.cl:118-137).
-  SHADE:     on exhausting the chain, apply the shared material step
-             (render/shading.py — identical RNG stream to the modular
-             engine and the scalar oracle), then either respawn the
-             bounced ray at chain entry 0, start the next sample, or
-             retire the lane.
-
-Lanes never wait for each other at phase boundaries; total iterations
-approach the per-lane mean work (~10^2-10^3) instead of the product of
-per-phase maxima. Primary-hit caching carries over: the bounce-0
-intersection of sample 0 is recorded and replayed for samples 1..spp-1
-(the reference reuses one camera ray for all samples, Trace.cl:636-641).
-
-Trade-offs kept deliberately: retired lanes idle until the whole batch
-drains (active-lane compaction is future work), and closest-hit ties
-between coincident triangles of DIFFERENT fused static meshes resolve
-by traversal order rather than mesh order (measure-zero; the bitwise
-golden tests gate it).
+Chain/shade structure and parity are as before: identity-transform
+meshes fuse into one world-space static BVH, OneSided meshes keep
+per-mesh rejection (Trace.cl:466-471), shading is the shared
+render/shading.py step (identical RNG stream to the modular engine and
+the scalar oracle), and the bounce-0 intersection of sample 0 replays
+for later samples (the reference reuses one camera ray per pixel,
+Trace.cl:636-641). Retired lanes idle until the batch drains
+(compaction is future work); closest-hit ties between coincident
+triangles resolve by traversal order (measure-zero; goldens gate it).
 """
 
 from __future__ import annotations
@@ -56,6 +50,11 @@ from tpurt.scene.types import MaterialType, Scene
 
 _F32 = jnp.float32
 _INF = np.float32(np.inf)
+# Host constant on purpose: a module-level jnp array referenced inside
+# traced code caches a stale tracer across traces on this JAX version,
+# corrupting later executables' hidden-constant lists ("Execution
+# supplied N buffers but compiled program expected N+k").
+_EMPTY = np.uint32(0xFFFFFFFF)
 
 
 class _Lane(NamedTuple):
@@ -74,7 +73,10 @@ class _Lane(NamedTuple):
     invis: jnp.ndarray  # (R,) i32
     # chain + traversal
     entry: jnp.ndarray  # (R,) i32 in [0, E]; E == shading stage
-    cur: jnp.ndarray  # (R,) i32 mega row; -1 = entry exhausted
+    cur: jnp.ndarray  # (R,) i32 row; -1 = entry exhausted
+    cur_leaf: jnp.ndarray  # (R,) bool — cur is a leaf row
+    cur_slot: jnp.ndarray  # (R,) i32 — first child slot to consider
+    stack: jnp.ndarray  # (R, S) u32 — (row << 4 | next_slot), 0xFFFFFFFF empty
     lo: jnp.ndarray  # (R, 3) local ray
     ld: jnp.ndarray
     lid: jnp.ndarray  # 1/ld
@@ -90,7 +92,7 @@ class _Lane(NamedTuple):
     w_back: jnp.ndarray
     w_mesh: jnp.ndarray
     # primary-hit cache (bounce-0 intersection, shared by all samples)
-    c_set: jnp.ndarray  # (R,) bool
+    c_set: jnp.ndarray
     c_valid: jnp.ndarray
     c_point: jnp.ndarray
     c_normal: jnp.ndarray
@@ -100,28 +102,28 @@ class _Lane(NamedTuple):
 
 
 class _ChainParams(NamedTuple):
-    """Per-entry transform/material constants, stacked (E, ...)."""
+    """Per-entry transform/material constants."""
 
     root: Tuple[int, ...]  # static row indices
+    root_leaf: Tuple[bool, ...]
     mesh: Tuple[int, ...]  # static mesh ids (-1 = fused static entry)
     pos: jnp.ndarray  # (E, 3)
-    rot: jnp.ndarray  # (E, 3, 3) object rotation R (mesh applies R)
+    rot: jnp.ndarray  # (E, 3, 3)
     scale: jnp.ndarray  # (E,)
-    qmin: jnp.ndarray  # (E, 3)
-    qscale: jnp.ndarray  # (E, 3)
     one_sided: jnp.ndarray  # (E,) bool
     cull: jnp.ndarray  # (E,) bool backface-cull policy (mesh entries)
 
 
 def _chain_params(scene: Scene) -> _ChainParams:
     pos_l, rot_l, scale_l, os_l, cull_l = [], [], [], [], []
-    for mesh_idx, root in scene.mega_chain:
+    for mesh_idx, _root, _leaf in scene.mega_chain:
         if mesh_idx < 0:  # fused static entry: identity transform
-            pos_l.append(jnp.zeros((3,), _F32))
-            rot_l.append(jnp.eye(3, dtype=_F32))
-            scale_l.append(jnp.float32(1.0))
-            os_l.append(jnp.asarray(False))
-            cull_l.append(jnp.asarray(True))  # unused; per-tri cull applies
+            # numpy constants on purpose — see tpurt.core.rng._u32
+            pos_l.append(np.zeros((3,), np.float32))
+            rot_l.append(np.eye(3, dtype=np.float32))
+            scale_l.append(np.float32(1.0))
+            os_l.append(np.asarray(False))
+            cull_l.append(np.asarray(True))  # unused; per-tri cull applies
         else:
             i = mesh_idx
             pos_l.append(scene.mesh_pos[i])
@@ -139,13 +141,12 @@ def _chain_params(scene: Scene) -> _ChainParams:
                 & (mt != int(MaterialType.ONE_SIDED))
             )
     return _ChainParams(
-        root=tuple(r for _, r in scene.mega_chain),
-        mesh=tuple(m for m, _ in scene.mega_chain),
+        root=tuple(r for _, r, _ in scene.mega_chain),
+        root_leaf=tuple(l for _, _, l in scene.mega_chain),
+        mesh=tuple(m for m, _, _ in scene.mega_chain),
         pos=jnp.stack(pos_l),
         rot=jnp.stack(rot_l),
         scale=jnp.stack(scale_l),
-        qmin=scene.mega_qmin,
-        qscale=scene.mega_qscale,
         one_sided=jnp.stack(os_l),
         cull=jnp.stack(cull_l),
     )
@@ -177,12 +178,14 @@ def _enter(params: _ChainParams, e_count: int, entry, origin, direction):
     lo = jnp.einsum("rji,rj->ri", rot, origin - pos) / safe
     ld = normalize3(jnp.einsum("rji,rj->ri", rot, direction) / safe)
     root = _select_scalar(params.root, entry_c, e_count, jnp.int32)
-    return lo, ld, 1.0 / ld, root
+    root_leaf = _select_scalar(params.root_leaf, entry_c, e_count, bool)
+    return lo, ld, 1.0 / ld, root, root_leaf
 
 
-def _mt_inline(lo, ld, row, base, cull_static_entry, is_static, params_cull_e):
-    """Exact Moller-Trumbore against an inline triangle slot of a mega
-    row; identical op order to intersect._mt_single."""
+def _mt_inline(lo, ld, row, base, cull):
+    """Exact Moller-Trumbore against an inline triangle slot of a leaf
+    row; identical op order to intersect._mt_single. Returns the owner
+    mesh aux too."""
     pa = row[:, base : base + 3]
     pb = row[:, base + 3 : base + 6]
     pc = row[:, base + 6 : base + 9]
@@ -207,16 +210,31 @@ def _mt_inline(lo, ld, row, base, cull_static_entry, is_static, params_cull_e):
     ok &= t > EPSILON
     n = normalize3(na * (1.0 - u - v)[:, None] + nb * u[:, None] + nc * v[:, None])
     backface = dot3(ld, n) > EPSILON
-    cull = jnp.where(is_static, cull_static_entry, params_cull_e)
     ok &= ~(cull & backface)
     n = jnp.where(backface[:, None], -n, n)
     return ok, t, n, backface, aux
 
 
+def _static_cull(scene: Scene, owner: jnp.ndarray) -> jnp.ndarray:
+    """Backface-cull policy by owner mesh id (cull unless
+    Glassy/Invisible/OneSided, Trace.cl:460-462)."""
+    k = scene.num_meshes
+    cull = jnp.ones(owner.shape, bool)
+    for i in range(k):
+        mt = scene.mat_type[i]
+        c = (
+            (mt != int(MaterialType.GLASSY))
+            & (mt != int(MaterialType.INVISIBLE))
+            & (mt != int(MaterialType.ONE_SIDED))
+        )
+        cull = jnp.where(owner == i, c, cull)
+    return cull
+
+
 def run_megakernel(
     scene: Scene,
     ro0: jnp.ndarray,  # (R, 3) primary origins
-    rd0: jnp.ndarray,  # (R, 3) primary directions (may be updated per sample by jitter)
+    rd0: jnp.ndarray,  # (R, 3) primary directions
     pixel_index: jnp.ndarray,  # (R,) u32
     frame_index,  # scalar i32
     rays_per_pixel: int,
@@ -237,6 +255,7 @@ def run_megakernel(
 
     params = _chain_params(scene)
     e_count = len(scene.mega_chain)
+    s_depth = scene.mega_stack_depth
     use_cache = not subpixel_jitter
 
     def primary_ray(sample_id):
@@ -265,42 +284,24 @@ def run_megakernel(
     zero3 = jnp.zeros((r, 3), _F32)
     zeros_i = jnp.zeros((r,), jnp.int32)
     falses = jnp.zeros((r,), bool)
+    empty_stack = jnp.full((r, s_depth), _EMPTY, jnp.uint32)
 
-    lo0, ld0, lid0, root0 = _enter(params, e_count, zeros_i, ro0, rd0)
+    lo0, ld0, lid0, root0, root_leaf0 = _enter(params, e_count, zeros_i, ro0, rd0)
     lane = _Lane(
-        sample=zeros_i,
-        acc=zero3,
-        rng=seed_for(jnp.uint32(0)),
-        done=falses,
+        sample=zeros_i, acc=zero3, rng=seed_for(jnp.uint32(0)), done=falses,
         segments=zeros_i,
-        origin=ro0,
-        direction=rd0,
-        throughput=jnp.ones((r, 3), _F32),
-        light=zero3,
-        bounces=zeros_i,
-        invis=zeros_i,
+        origin=ro0, direction=rd0,
+        throughput=jnp.ones((r, 3), _F32), light=zero3,
+        bounces=zeros_i, invis=zeros_i,
         entry=zeros_i,
-        cur=root0,
-        lo=lo0,
-        ld=ld0,
-        lid=lid0,
-        lt=jnp.full((r,), _INF, _F32),
-        lnrm=zero3,
-        lback=falses,
+        cur=root0, cur_leaf=root_leaf0, cur_slot=zeros_i, stack=empty_stack,
+        lo=lo0, ld=ld0, lid=lid0,
+        lt=jnp.full((r,), _INF, _F32), lnrm=zero3, lback=falses,
         lmesh=zeros_i - 1,
-        w_valid=falses,
-        w_dst=jnp.full((r,), _INF, _F32),
-        w_point=zero3,
-        w_normal=zero3,
-        w_back=falses,
-        w_mesh=zeros_i - 1,
-        c_set=falses,
-        c_valid=falses,
-        c_point=zero3,
-        c_normal=zero3,
-        c_back=falses,
-        c_mesh=zeros_i - 1,
-        c_dst=jnp.full((r,), _INF, _F32),
+        w_valid=falses, w_dst=jnp.full((r,), _INF, _F32),
+        w_point=zero3, w_normal=zero3, w_back=falses, w_mesh=zeros_i - 1,
+        c_set=falses, c_valid=falses, c_point=zero3, c_normal=zero3,
+        c_back=falses, c_mesh=zeros_i - 1, c_dst=jnp.full((r,), _INF, _F32),
     )
 
     def cond(s: _Lane):
@@ -310,64 +311,106 @@ def run_megakernel(
         # ---------------- TRAVERSE: the one gather -------------------
         trav = ~s.done & (s.entry < e_count) & (s.cur >= 0)
         idx = jnp.where(trav, s.cur, 0)
-        row = scene.mega_rows[idx]  # (R, 43)
+        row = scene.mega_rows[idx]  # (R, 40)
 
-        u0 = lax.bitcast_convert_type(row[:, 0], jnp.uint32)
-        u1 = lax.bitcast_convert_type(row[:, 1], jnp.uint32)
-        u2 = lax.bitcast_convert_type(row[:, 2], jnp.uint32)
-        m16 = jnp.uint32(0xFFFF)
-        q_lo = jnp.stack([u0 & m16, u0 >> 16, u1 & m16], -1).astype(_F32)
-        q_hi = jnp.stack([u1 >> 16, u2 & m16, u2 >> 16], -1).astype(_F32)
         entry_c = jnp.minimum(s.entry, e_count - 1)
-        qmin = _select_e(params.qmin, entry_c, e_count)
-        qscale = _select_e(params.qscale, entry_c, e_count)
-        bmin = qmin + q_lo * qscale
-        bmax = qmin + q_hi * qscale
-        w6 = lax.bitcast_convert_type(row[:, 3], jnp.int32)
-        w7 = lax.bitcast_convert_type(row[:, 4], jnp.uint32)
-        miss = (w7 & jnp.uint32(0xFFFFFF)).astype(jnp.int32) - 1
-        ntris = (w7 >> jnp.uint32(24)).astype(jnp.int32)
-
-        # slab test (RayBoundingBox, Trace.cl:259-274), NaN-robust-
-        # conservative like intersect._aabb (in-plane rays touch).
-        t0 = (bmin - s.lo) * s.lid
-        t1 = (bmax - s.lo) * s.lid
-        tsm = jnp.minimum(t0, t1)
-        tbg = jnp.maximum(t0, t1)
-        tsm = jnp.where(jnp.isnan(tsm), -jnp.inf, tsm)
-        tbg = jnp.where(jnp.isnan(tbg), jnp.inf, tbg)
-        tmin = jnp.max(tsm, -1)
-        tmax = jnp.min(tbg, -1)
-        box_hit = tmax >= jnp.maximum(tmin, 0.0)
-
         scale_e = _select_e(params.scale, entry_c, e_count)
         safe_e = jnp.where(jnp.abs(scale_e) > EPSILON, scale_e, _F32(1.0))
         limit = jnp.minimum(s.lt, s.w_dst / safe_e * _F32(1.001))
-        enter_node = trav & box_hit & (tmin < limit)
-        is_leaf = ntris > 0
 
-        lt, lnrm, lback, lmesh = s.lt, s.lnrm, s.lback, s.lmesh
+        # --- leaf branch: two inline exact MT tests -------------------
+        leaf_on = trav & s.cur_leaf
         entry_mesh = _select_scalar(params.mesh, entry_c, e_count, jnp.int32)
         is_static = entry_mesh < 0
         cull_mesh_e = _select_e(params.cull, entry_c, e_count)
+        lt, lnrm, lback, lmesh = s.lt, s.lnrm, s.lback, s.lmesh
         for k in range(2):
-            live = enter_node & is_leaf & (k < ntris)
-            # per-candidate cull: static entry -> owner mesh's policy
-            ok, t, n, backface, aux = _mt_inline(
-                s.lo, s.ld, row, 5 + 19 * k,
-                _static_cull(scene, lax.bitcast_convert_type(
-                    row[:, 5 + 19 * k + 18], jnp.int32)),
-                is_static, cull_mesh_e,
-            )
+            aux_raw = lax.bitcast_convert_type(row[:, 19 * k + 18], jnp.int32)
+            cull = jnp.where(is_static, _static_cull(scene, aux_raw), cull_mesh_e)
+            ok, t, n, backface, aux = _mt_inline(s.lo, s.ld, row, 19 * k, cull)
             cand_mesh = jnp.where(is_static, aux, entry_mesh)
-            win = live & ok & (t < lt)
+            win = leaf_on & ok & (t < lt)
             lt = jnp.where(win, t, lt)
             lnrm = jnp.where(win[:, None], n, lnrm)
             lback = jnp.where(win, backface, lback)
             lmesh = jnp.where(win, cand_mesh, lmesh)
 
-        nxt = jnp.where(enter_node & ~is_leaf, w6, miss)
-        cur = jnp.where(trav, nxt, s.cur)
+        # --- node branch: test 8 quantised children -------------------
+        node_on = trav & ~s.cur_leaf
+        grid_o = row[:, 0:3]
+        grid_s = row[:, 3:6]
+        first_found = falses
+        first_slot = zeros_i
+        first_meta = zeros_i
+        hit_count = zeros_i
+        for slot in range(8):
+            base = 6 + 3 * slot
+            w0 = lax.bitcast_convert_type(row[:, base], jnp.uint32)
+            w1 = lax.bitcast_convert_type(row[:, base + 1], jnp.uint32)
+            meta = lax.bitcast_convert_type(row[:, base + 2], jnp.int32)
+            m8 = jnp.uint32(0xFF)
+            q_lo = jnp.stack(
+                [w0 & m8, (w0 >> 8) & m8, (w0 >> 16) & m8], -1
+            ).astype(_F32)
+            q_hi = jnp.stack(
+                [(w0 >> 24) & m8, w1 & m8, (w1 >> 8) & m8], -1
+            ).astype(_F32)
+            bmin = grid_o + q_lo * grid_s
+            bmax = grid_o + q_hi * grid_s
+            t0 = (bmin - s.lo) * s.lid
+            t1 = (bmax - s.lo) * s.lid
+            tsm = jnp.minimum(t0, t1)
+            tbg = jnp.maximum(t0, t1)
+            tsm = jnp.where(jnp.isnan(tsm), -jnp.inf, tsm)
+            tbg = jnp.where(jnp.isnan(tbg), jnp.inf, tbg)
+            tmin = jnp.max(tsm, -1)
+            tmax = jnp.min(tbg, -1)
+            hit = (tmax >= jnp.maximum(tmin, 0.0)) & (tmin < limit)
+            hit &= (meta != 0) & (slot >= s.cur_slot)
+            new_first = hit & ~first_found
+            first_slot = jnp.where(new_first, slot, first_slot)
+            first_meta = jnp.where(new_first, meta, first_meta)
+            first_found |= hit
+            hit_count = hit_count + hit.astype(jnp.int32)
+
+        descend = node_on & first_found
+        push = descend & (hit_count >= 2)
+        pop = (node_on & ~first_found) | leaf_on
+
+        # push (row << 4 | next_slot); push and pop are disjoint
+        push_entry = (
+            (jnp.where(trav, s.cur, 0).astype(jnp.uint32) << jnp.uint32(4))
+            | (first_slot + 1).astype(jnp.uint32)
+        )
+        top = s.stack[:, 0]
+        top_empty = top == _EMPTY
+        stack = jnp.where(
+            push[:, None],
+            jnp.concatenate([push_entry[:, None], s.stack[:, :-1]], axis=1),
+            jnp.where(
+                (pop & ~top_empty)[:, None],
+                jnp.concatenate(
+                    [s.stack[:, 1:], jnp.full((r, 1), _EMPTY, jnp.uint32)], axis=1
+                ),
+                s.stack,
+            ),
+        )
+
+        cur = s.cur
+        cur_leaf = s.cur_leaf
+        cur_slot = s.cur_slot
+        # descend into the first hit child
+        cur = jnp.where(descend, first_meta >> 1, cur)
+        cur_leaf = jnp.where(descend, (first_meta & 1) == 1, cur_leaf)
+        cur_slot = jnp.where(descend, 0, cur_slot)
+        # pop: resume a saved (row, slot) or finish the entry
+        resume = pop & ~top_empty
+        cur = jnp.where(resume, (top >> jnp.uint32(4)).astype(jnp.int32), cur)
+        cur_slot = jnp.where(
+            resume, (top & jnp.uint32(0xF)).astype(jnp.int32), cur_slot
+        )
+        cur_leaf = jnp.where(resume, False, cur_leaf)
+        cur = jnp.where(pop & top_empty, -1, cur)
 
         # ---------------- NEXT-MESH: fold + enter --------------------
         fin = ~s.done & (s.entry < e_count) & (cur < 0)
@@ -390,13 +433,16 @@ def run_megakernel(
         w_mesh = jnp.where(closer, lmesh, s.w_mesh)
 
         entry = jnp.where(fin, s.entry + 1, s.entry)
-        # set up the next entry's local frame for lanes still in chain
-        lo2, ld2, lid2, root2 = _enter(params, e_count, entry, s.origin, s.direction)
+        lo2, ld2, lid2, root2, root_leaf2 = _enter(
+            params, e_count, entry, s.origin, s.direction
+        )
         in_chain = fin & (entry < e_count)
         lo = jnp.where(in_chain[:, None], lo2, s.lo)
         ld = jnp.where(in_chain[:, None], ld2, s.ld)
         lid = jnp.where(in_chain[:, None], lid2, s.lid)
         cur = jnp.where(in_chain, root2, cur)
+        cur_leaf = jnp.where(in_chain, root_leaf2, cur_leaf)
+        cur_slot = jnp.where(in_chain, 0, cur_slot)
         lt = jnp.where(fin, _INF, lt)
         lnrm = jnp.where(fin[:, None], 0.0, lnrm)
         lback = jnp.where(fin, False, lback)
@@ -425,9 +471,7 @@ def run_megakernel(
         c_mesh = jnp.where(store, w_mesh, s.c_mesh)
         c_dst = jnp.where(store, w_dst, s.c_dst)
 
-        # path continues: re-enter chain with the bounced ray
         cont = shade & continuing
-        # path ends: accumulate, next sample or retire
         path_end = shade & ~continuing
         acc = s.acc + jnp.where(path_end[:, None], res.light, 0.0)
         sample = s.sample + path_end.astype(jnp.int32)
@@ -452,17 +496,20 @@ def run_megakernel(
         replay = new_sample & c_set
         restart = cont | (new_sample & ~replay)
         entry = jnp.where(restart, 0, entry)
-        lo3, ld3, lid3, root3 = _enter(params, e_count, jnp.zeros_like(entry),
-                                       origin, direction)
+        lo3, ld3, lid3, root3, root_leaf3 = _enter(
+            params, e_count, jnp.zeros_like(entry), origin, direction
+        )
         lo = jnp.where(restart[:, None], lo3, lo)
         ld = jnp.where(restart[:, None], ld3, ld)
         lid = jnp.where(restart[:, None], lid3, lid)
         cur = jnp.where(restart, root3, cur)
+        cur_leaf = jnp.where(restart, root_leaf3, cur_leaf)
+        cur_slot = jnp.where(restart, 0, cur_slot)
+        stack = jnp.where(restart[:, None], _EMPTY, stack)
 
         w_valid = jnp.where(shade, False, w_valid)
         w_dst = jnp.where(shade, _INF, w_dst)
         w_mesh = jnp.where(shade, -1, w_mesh)
-        # replayed lanes jump straight to the shade stage with the cache
         entry = jnp.where(replay, e_count, entry)
         w_valid = jnp.where(replay, c_valid, w_valid)
         w_dst = jnp.where(replay, c_dst, w_dst)
@@ -475,7 +522,9 @@ def run_megakernel(
             sample=sample, acc=acc, rng=rng, done=done, segments=segments,
             origin=origin, direction=direction, throughput=throughput,
             light=light, bounces=bounces, invis=invis,
-            entry=entry, cur=cur, lo=lo, ld=ld, lid=lid,
+            entry=entry,
+            cur=cur, cur_leaf=cur_leaf, cur_slot=cur_slot, stack=stack,
+            lo=lo, ld=ld, lid=lid,
             lt=lt, lnrm=lnrm, lback=lback, lmesh=lmesh,
             w_valid=w_valid, w_dst=w_dst, w_point=w_point, w_normal=w_normal,
             w_back=w_back, w_mesh=w_mesh,
@@ -484,10 +533,6 @@ def run_megakernel(
         )
 
     def body_unrolled(s: _Lane) -> _Lane:
-        # A device-loop iteration carries ~0.2ms fixed overhead on this
-        # backend; running several state-machine steps per iteration
-        # amortises it (the step is a no-op for lanes that retired
-        # mid-unroll, so semantics are unchanged).
         for _ in range(unroll):
             s = body(s)
         return s
@@ -495,20 +540,3 @@ def run_megakernel(
     final = lax.while_loop(cond, body_unrolled, lane)
     mean = final.acc / jnp.float32(rays_per_pixel)
     return mean, jnp.sum(final.segments.astype(jnp.float32))
-
-
-def _static_cull(scene: Scene, owner: jnp.ndarray) -> jnp.ndarray:
-    """Backface-cull policy for fused-static candidates, selected by the
-    per-triangle owner mesh id (cull unless Glassy/Invisible/OneSided,
-    Trace.cl:460-462; OneSided meshes never enter the fused entry)."""
-    k = scene.num_meshes
-    cull = jnp.ones(owner.shape, bool)
-    for i in range(k):
-        mt = scene.mat_type[i]
-        c = (
-            (mt != int(MaterialType.GLASSY))
-            & (mt != int(MaterialType.INVISIBLE))
-            & (mt != int(MaterialType.ONE_SIDED))
-        )
-        cull = jnp.where(owner == i, c, cull)
-    return cull

@@ -51,14 +51,20 @@ def _tile_pixel_coords(tile_h: int, tile_w: int, x0, y0):
         "seed_mode", "invisible_budget", "bruteforce_threshold", "subpixel_jitter",
         "engine",
     ),
+    # The mega engine leaves many Scene fields unused; without this the
+    # executable's parameter pruning has been observed to disagree with
+    # the dispatch fast path when a cache entry is shared across scenes
+    # ("Execution supplied 22 buffers but compiled program expected 24").
+    keep_unused=True,
 )
 def _render_tile_impl(
     scene: Scene,
     camera: Camera,
-    x0,
-    y0,
-    frame_index,
-    sample_offset=0,
+    coords,  # (4,) i32: x0, y0, frame_index, sample_offset — packed into
+    #          one buffer (multiple 0-d scalar args of equal value can
+    #          alias the same cached constant object, and the XLA client
+    #          dedupes same-object parameters, making the compiled
+    #          program's buffer count depend on runtime VALUES)
     *,
     tile_h: int,
     tile_w: int,
@@ -72,6 +78,8 @@ def _render_tile_impl(
     subpixel_jitter: bool,
     engine: str = "mega",
 ) -> jnp.ndarray:
+    x0, y0 = coords[0], coords[1]
+    frame_index, sample_offset = coords[2], coords[3]
     xs, ys = _tile_pixel_coords(tile_h, tile_w, x0, y0)
     pixel_index = ys.astype(jnp.uint32) * jnp.uint32(width) + xs.astype(jnp.uint32)
 
@@ -81,7 +89,7 @@ def _render_tile_impl(
         uv = pixel_uv(xs, ys, width, height)
         ro0, rd0 = make_ray(camera, uv)
         mean, segs = run_megakernel(
-            scene, ro0, rd0, pixel_index, jnp.int32(frame_index),
+            scene, ro0, rd0, pixel_index, frame_index,
             rays_per_pixel=rays_per_pixel, max_bounces=max_bounces,
             seed_mode=seed_mode, invisible_budget=invisible_budget,
             sample_offset=sample_offset, subpixel_jitter=subpixel_jitter,
@@ -194,7 +202,7 @@ def render_tile_with_stats(
     tile_w = tile_w or min(cfg.tile_size, cfg.width)
     return _render_tile_impl(
         scene, camera,
-        jnp.int32(x0), jnp.int32(y0), jnp.int32(frame_index),
+        jnp.asarray([x0, y0, frame_index, 0], jnp.int32),
         tile_h=tile_h, tile_w=tile_w,
         width=cfg.width, height=cfg.height,
         rays_per_pixel=cfg.rays_per_pixel, max_bounces=cfg.max_bounces,

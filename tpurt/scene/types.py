@@ -84,26 +84,18 @@ class Scene:
     mesh_qmin: jnp.ndarray  # (K, 3) f32 quantisation grid origin
     mesh_qscale: jnp.ndarray  # (K, 3) f32 quantisation cell size
 
-    # Megakernel arrays: a second, self-contained BVH encoding sized for
-    # the persistent-lane integrator, whose measured cost currency on
-    # TPU is LOOP ITERATIONS x GATHER OPS (each ~0.2ms fixed + ~200M
-    # rows/s, row width nearly free). Each 43-float row carries the
-    # quantised bounds + links PLUS its (<=2) leaf triangles inline with
-    # exact f32 data and per-triangle owner-mesh aux, so one traversal
-    # step costs exactly ONE gather:
-    #   [0:3] quantised bounds (same packing as node_q)
-    #   [3]   bitcast i32: first-child row (internal; == row+1 by DFS)
-    #   [4]   bitcast i32: (miss_link + 1) | (num_tris << 24)
-    #   [5:23]  triangle A (pa pb pc na nb nc), [23] bitcast i32 owner mesh
-    #   [24:42] triangle B,                     [42] bitcast i32 owner mesh
+    # Megakernel row bank: an 8-wide BVH encoding sized for the
+    # persistent-lane integrator. The TPU gather engine is row-granular
+    # (~175M rows/s regardless of row width), so the traversal currency
+    # is ROWS VISITED: an 8-wide node packs eight children's uint8-
+    # quantised boxes (per-node grid, conservative) plus their targets
+    # into ONE row, and leaf rows carry both triangles inline, exact
+    # f32. Node and leaf rows share one bank so each traversal step is
+    # exactly one gather. Layouts in scene/builder._emit_mega_subtree.
     # The traversal CHAIN (static meta) lists the BVHs every ray visits
     # in order: one combined world-space BVH over all identity-transform
-    # non-OneSided meshes, then each remaining instance. Entries are
-    # (mesh_idx, root_row); mesh_idx -1 marks the combined static entry
-    # (materials/culling then come from the per-triangle aux).
-    mega_rows: jnp.ndarray  # (Mm, 43) f32
-    mega_qmin: jnp.ndarray  # (E, 3) f32 per-entry quantisation origin
-    mega_qscale: jnp.ndarray  # (E, 3) f32 per-entry quantisation cell
+    # non-OneSided meshes, then each remaining instance.
+    mega_rows: jnp.ndarray  # (Mm, 40) f32
 
     # Mesh instances (K).
     mesh_root: jnp.ndarray  # (K,) i32 BVH root node per mesh
@@ -130,11 +122,14 @@ class Scene:
     mesh_tri_ranges: Tuple[Tuple[int, int], ...] = struct.field(
         pytree_node=False, default=()
     )
-    #: Megakernel traversal chain: ((mesh_idx, root_row), ...) with
-    #: mesh_idx == -1 for the combined static-geometry entry.
-    mega_chain: Tuple[Tuple[int, int], ...] = struct.field(
+    #: Megakernel traversal chain: ((mesh_idx, root_row, root_is_leaf),
+    #: ...) with mesh_idx == -1 for the combined static-geometry entry.
+    mega_chain: Tuple[Tuple[int, int, bool], ...] = struct.field(
         pytree_node=False, default=()
     )
+    #: Register-file traversal stack entries needed for the deepest
+    #: 8-wide subtree (static; sets the megakernel's shift-chain length).
+    mega_stack_depth: int = struct.field(pytree_node=False, default=8)
     #: Material type per mesh as known at freeze time (static mirror of
     #: mat_type, used only to ROUTE meshes between the fused sweep and
     #: the per-mesh path — OneSided meshes need per-mesh closest-hit
