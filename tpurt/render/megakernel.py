@@ -58,6 +58,8 @@ _EMPTY = np.uint32(0xFFFFFFFF)
 
 
 class _Lane(NamedTuple):
+    # diagnostics
+    iters: jnp.ndarray  # () i32 — loop iterations executed (sync cost)
     # sample machinery
     sample: jnp.ndarray  # (R,) i32
     acc: jnp.ndarray  # (R, 3)
@@ -251,7 +253,7 @@ def run_megakernel(
     """Returns (mean radiance (R,3), total path segments (scalar f32))."""
     r = ro0.shape[0]
     if max_bounces <= 0:
-        return jnp.zeros((r, 3), _F32), jnp.float32(0.0)
+        return jnp.zeros((r, 3), _F32), jnp.float32(0.0), jnp.int32(0)
 
     params = _chain_params(scene)
     e_count = len(scene.mega_chain)
@@ -288,6 +290,7 @@ def run_megakernel(
 
     lo0, ld0, lid0, root0, root_leaf0 = _enter(params, e_count, zeros_i, ro0, rd0)
     lane = _Lane(
+        iters=jnp.int32(0),
         sample=zeros_i, acc=zero3, rng=seed_for(jnp.uint32(0)), done=falses,
         segments=zeros_i,
         origin=ro0, direction=rd0,
@@ -433,16 +436,7 @@ def run_megakernel(
         w_mesh = jnp.where(closer, lmesh, s.w_mesh)
 
         entry = jnp.where(fin, s.entry + 1, s.entry)
-        lo2, ld2, lid2, root2, root_leaf2 = _enter(
-            params, e_count, entry, s.origin, s.direction
-        )
         in_chain = fin & (entry < e_count)
-        lo = jnp.where(in_chain[:, None], lo2, s.lo)
-        ld = jnp.where(in_chain[:, None], ld2, s.ld)
-        lid = jnp.where(in_chain[:, None], lid2, s.lid)
-        cur = jnp.where(in_chain, root2, cur)
-        cur_leaf = jnp.where(in_chain, root_leaf2, cur_leaf)
-        cur_slot = jnp.where(in_chain, 0, cur_slot)
         lt = jnp.where(fin, _INF, lt)
         lnrm = jnp.where(fin[:, None], 0.0, lnrm)
         lback = jnp.where(fin, False, lback)
@@ -496,16 +490,22 @@ def run_megakernel(
         replay = new_sample & c_set
         restart = cont | (new_sample & ~replay)
         entry = jnp.where(restart, 0, entry)
-        lo3, ld3, lid3, root3, root_leaf3 = _enter(
-            params, e_count, jnp.zeros_like(entry), origin, direction
-        )
-        lo = jnp.where(restart[:, None], lo3, lo)
-        ld = jnp.where(restart[:, None], ld3, ld)
-        lid = jnp.where(restart[:, None], lid3, lid)
-        cur = jnp.where(restart, root3, cur)
-        cur_leaf = jnp.where(restart, root_leaf3, cur_leaf)
-        cur_slot = jnp.where(restart, 0, cur_slot)
         stack = jnp.where(restart[:, None], _EMPTY, stack)
+
+        # ONE local-frame entry computation serves both transitions
+        # (advancing to the next chain entry and restarting at entry 0
+        # with the bounced/new ray): by this point `entry` and
+        # origin/direction hold their final values for the iteration.
+        entering = in_chain | restart
+        lo2, ld2, lid2, root2, root_leaf2 = _enter(
+            params, e_count, entry, origin, direction
+        )
+        lo = jnp.where(entering[:, None], lo2, s.lo)
+        ld = jnp.where(entering[:, None], ld2, s.ld)
+        lid = jnp.where(entering[:, None], lid2, s.lid)
+        cur = jnp.where(entering, root2, cur)
+        cur_leaf = jnp.where(entering, root_leaf2, cur_leaf)
+        cur_slot = jnp.where(entering, 0, cur_slot)
 
         w_valid = jnp.where(shade, False, w_valid)
         w_dst = jnp.where(shade, _INF, w_dst)
@@ -519,6 +519,7 @@ def run_megakernel(
         w_mesh = jnp.where(replay, c_mesh, w_mesh)
 
         return _Lane(
+            iters=s.iters + 1,
             sample=sample, acc=acc, rng=rng, done=done, segments=segments,
             origin=origin, direction=direction, throughput=throughput,
             light=light, bounces=bounces, invis=invis,
@@ -539,4 +540,4 @@ def run_megakernel(
 
     final = lax.while_loop(cond, body_unrolled, lane)
     mean = final.acc / jnp.float32(rays_per_pixel)
-    return mean, jnp.sum(final.segments.astype(jnp.float32))
+    return mean, jnp.sum(final.segments.astype(jnp.float32)), final.iters

@@ -88,7 +88,7 @@ def _render_tile_impl(
 
         uv = pixel_uv(xs, ys, width, height)
         ro0, rd0 = make_ray(camera, uv)
-        mean, segs = run_megakernel(
+        mean, segs, _iters = run_megakernel(
             scene, ro0, rd0, pixel_index, frame_index,
             rays_per_pixel=rays_per_pixel, max_bounces=max_bounces,
             seed_mode=seed_mode, invisible_budget=invisible_budget,
