@@ -339,11 +339,22 @@ def run_megakernel(
             lmesh = jnp.where(win, cand_mesh, lmesh)
 
         # --- node branch: test 8 quantised children -------------------
+        # Children are build-sorted along the node's widest axis
+        # (row[30]); visiting them in direction-signed PRIORITY order
+        # (forward when the local ray points up the axis, reversed
+        # otherwise) makes near children test first, so the distance
+        # bound prunes far siblings. cur_slot is a priority threshold
+        # for resuming a popped node.
         node_on = trav & ~s.cur_leaf
         grid_o = row[:, 0:3]
         grid_s = row[:, 3:6]
-        first_found = falses
-        first_slot = zeros_i
+        sort_axis = lax.bitcast_convert_type(row[:, 30], jnp.int32)
+        dcomp = jnp.where(
+            sort_axis == 0, s.ld[:, 0],
+            jnp.where(sort_axis == 1, s.ld[:, 1], s.ld[:, 2]),
+        )
+        fwd = dcomp >= 0.0
+        best_prio = jnp.full((r,), 8, jnp.int32)
         first_meta = zeros_i
         hit_count = zeros_i
         for slot in range(8):
@@ -368,22 +379,23 @@ def run_megakernel(
             tbg = jnp.where(jnp.isnan(tbg), jnp.inf, tbg)
             tmin = jnp.max(tsm, -1)
             tmax = jnp.min(tbg, -1)
+            prio = jnp.where(fwd, slot, 7 - slot)
             hit = (tmax >= jnp.maximum(tmin, 0.0)) & (tmin < limit)
-            hit &= (meta != 0) & (slot >= s.cur_slot)
-            new_first = hit & ~first_found
-            first_slot = jnp.where(new_first, slot, first_slot)
-            first_meta = jnp.where(new_first, meta, first_meta)
-            first_found |= hit
+            hit &= (meta != 0) & (prio >= s.cur_slot)
+            better = hit & (prio < best_prio)
+            best_prio = jnp.where(better, prio, best_prio)
+            first_meta = jnp.where(better, meta, first_meta)
             hit_count = hit_count + hit.astype(jnp.int32)
 
+        first_found = best_prio < 8
         descend = node_on & first_found
         push = descend & (hit_count >= 2)
         pop = (node_on & ~first_found) | leaf_on
 
-        # push (row << 4 | next_slot); push and pop are disjoint
+        # push (row << 4 | next priority threshold); push/pop disjoint
         push_entry = (
             (jnp.where(trav, s.cur, 0).astype(jnp.uint32) << jnp.uint32(4))
-            | (first_slot + 1).astype(jnp.uint32)
+            | (best_prio + 1).astype(jnp.uint32)
         )
         top = s.stack[:, 0]
         top_empty = top == _EMPTY

@@ -144,6 +144,14 @@ def _emit_mega_subtree(rows, nodes, root, tri_pos, tri_nrm, tri_mesh):
 
         lo = np.min([bmin[j] for j in slots], axis=0).astype(np.float64)
         hi = np.max([bmax[j] for j in slots], axis=0).astype(np.float64)
+
+        # Sort slots along the node's widest axis and record it: the
+        # traversal visits slots in this order (or reversed, by ray
+        # direction sign) so near children are tested first and the
+        # distance bound prunes far siblings earlier.
+        axis = int(np.argmax(hi - lo))
+        slots.sort(key=lambda j: float(bmin[j][axis] + bmax[j][axis]))
+        row[30] = np.array(axis, np.int32).view(np.float32)
         scale = (hi - lo) / 255.0
         origin32 = lo.astype(np.float32)
         scale32 = np.where(scale > 0, scale, 0.0).astype(np.float32)
