@@ -109,6 +109,21 @@ def test_all_materials_bitwise(engine, bruteforce_threshold):
     assert_mostly_bitwise(mine, ref)
 
 
+def test_staged_compaction_bitwise():
+    """The host-staged megakernel (capped stages + quarter-batch lane
+    compaction) must produce the identical image to the single-shot
+    megakernel — compaction only reorders which lanes share a batch."""
+    cfg = RenderConfig(width=16, height=16, rays_per_pixel=2, max_bounces=3,
+                       tile_size=16, object_path="sphere0.obj", engine="mega",
+                       compaction_threshold=64)
+    scene, cam, _ = cornell_sphere_scene(0, cfg)
+    staged = render_frame(scene, cam, cfg)
+    single = render_frame(scene, cam, cfg.replace(compaction_threshold=0))
+    np.testing.assert_array_equal(staged, single)
+    ref, _ = oracle.render(scene, cam, 16, 16, 2, 3)
+    assert_mostly_bitwise(staged, ref, max_flip_fraction=0.0)
+
+
 def test_engines_agree_on_default_scene():
     """Modular vs megakernel on the default Cornell scene at a size
     where knife-edge pixels statistically appear."""

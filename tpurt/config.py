@@ -82,6 +82,13 @@ class RenderConfig:
     #: (each bounce keeps ~a dozen per-ray f32 lanes alive).
     rays_per_batch: int = 65536
 
+    #: Lane-compaction threshold for the megakernel (single-chip path):
+    #: tiles with at least this many pixels run in host-driven stages —
+    #: a capped main stage, then the surviving (slowest) lanes compact
+    #: into a quarter-size batch that finishes alone, so the tail of
+    #: deep paths stops taxing every lane. 0 disables.
+    compaction_threshold: int = 32768
+
     #: Integrator engine. ``"mega"`` is the persistent-lane megakernel
     #: (one flattened while_loop; the TPU fast path). ``"modular"`` is
     #: the readable nested-loop engine used as its cross-check. Both are

@@ -60,6 +60,11 @@ _EMPTY = np.uint32(0xFFFFFFFF)
 class _Lane(NamedTuple):
     # diagnostics
     iters: jnp.ndarray  # () i32 — loop iterations executed (sync cost)
+    # per-lane task constants (ride in the state so lanes can be
+    # COMPACTED: a shrunken batch must carry its own primary rays/seeds)
+    ro0: jnp.ndarray  # (R, 3) primary origin
+    rd0: jnp.ndarray  # (R, 3) primary direction
+    pix: jnp.ndarray  # (R,) u32 pixel index
     # sample machinery
     sample: jnp.ndarray  # (R,) i32
     acc: jnp.ndarray  # (R, 3)
@@ -249,10 +254,17 @@ def run_megakernel(
     width: int = 0,
     height: int = 0,
     unroll: int = 1,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Returns (mean radiance (R,3), total path segments (scalar f32))."""
+    initial_state: "_Lane" = None,
+    max_iterations: int = None,
+    return_state: bool = False,
+):
+    """Returns (mean radiance (R,3), total path segments (scalar f32),
+    iterations) — or the raw lane state when ``return_state`` (used by
+    the host-staged compaction driver in render/renderer.py, which caps
+    iterations, shrinks the batch to the surviving lanes, and resumes).
+    """
     r = ro0.shape[0]
-    if max_bounces <= 0:
+    if max_bounces <= 0 and not return_state:
         return jnp.zeros((r, 3), _F32), jnp.float32(0.0), jnp.int32(0)
 
     params = _chain_params(scene)
@@ -260,27 +272,27 @@ def run_megakernel(
     s_depth = scene.mega_stack_depth
     use_cache = not subpixel_jitter
 
-    def primary_ray(sample_id):
+    def primary_ray(p_ro0, p_rd0, p_pix, sample_id):
         if not subpixel_jitter:
-            return ro0, rd0
+            return p_ro0, p_rd0
         from tpurt.core.camera import make_ray, pixel_uv
 
-        xs = pixel_index.astype(jnp.int32) % jnp.int32(width)
-        ys = pixel_index.astype(jnp.int32) // jnp.int32(width)
+        xs = p_pix.astype(jnp.int32) % jnp.int32(width)
+        ys = p_pix.astype(jnp.int32) // jnp.int32(width)
         uv = pixel_uv(xs, ys, width, height)
         jseed = rnglib.make_seed(
-            pixel_index ^ jnp.uint32(0xA511E9B3), frame_index, sample_id
+            p_pix ^ jnp.uint32(0xA511E9B3), frame_index, sample_id
         )
         jseed, jx = rnglib.random_value(jseed)
         jseed, jy = rnglib.random_value(jseed)
         uv = uv + jnp.stack([(jx - 0.5) / width, (jy - 0.5) / height], axis=-1)
         return make_ray(camera, uv)
 
-    def seed_for(sample_id):
+    def seed_for(p_pix, sample_id):
         if seed_mode == "reference":
-            return rnglib.make_seed(pixel_index, frame_index, 0)
+            return rnglib.make_seed(p_pix, frame_index, 0)
         return rnglib.make_seed(
-            pixel_index, frame_index, sample_id + jnp.uint32(sample_offset)
+            p_pix, frame_index, sample_id + jnp.uint32(sample_offset)
         )
 
     zero3 = jnp.zeros((r, 3), _F32)
@@ -291,7 +303,9 @@ def run_megakernel(
     lo0, ld0, lid0, root0, root_leaf0 = _enter(params, e_count, zeros_i, ro0, rd0)
     lane = _Lane(
         iters=jnp.int32(0),
-        sample=zeros_i, acc=zero3, rng=seed_for(jnp.uint32(0)), done=falses,
+        ro0=ro0, rd0=rd0, pix=pixel_index,
+        sample=zeros_i, acc=zero3,
+        rng=seed_for(pixel_index, jnp.uint32(0)), done=falses,
         segments=zeros_i,
         origin=ro0, direction=rd0,
         throughput=jnp.ones((r, 3), _F32), light=zero3,
@@ -307,8 +321,15 @@ def run_megakernel(
         c_back=falses, c_mesh=zeros_i - 1, c_dst=jnp.full((r,), _INF, _F32),
     )
 
+    if initial_state is not None:
+        lane = initial_state
+    iter_cap = None if max_iterations is None else lane.iters + max_iterations
+
     def cond(s: _Lane):
-        return jnp.any(~s.done)
+        live = jnp.any(~s.done)
+        if iter_cap is not None:
+            live &= s.iters < iter_cap
+        return live
 
     def body(s: _Lane) -> _Lane:
         # ---------------- TRAVERSE: the one gather -------------------
@@ -486,10 +507,10 @@ def run_megakernel(
         new_sample = path_end & ~retire
 
         sample_u = sample.astype(jnp.uint32)
-        ro_s, rd_s = primary_ray(sample_u)
+        ro_s, rd_s = primary_ray(s.ro0, s.rd0, s.pix, sample_u)
         rng = res.rng
         if seed_mode != "reference":
-            rng = jnp.where(new_sample, seed_for(sample_u), rng)
+            rng = jnp.where(new_sample, seed_for(s.pix, sample_u), rng)
 
         origin = jnp.where(new_sample[:, None], ro_s, res.origin)
         direction = jnp.where(new_sample[:, None], rd_s, res.direction)
@@ -532,6 +553,7 @@ def run_megakernel(
 
         return _Lane(
             iters=s.iters + 1,
+            ro0=s.ro0, rd0=s.rd0, pix=s.pix,
             sample=sample, acc=acc, rng=rng, done=done, segments=segments,
             origin=origin, direction=direction, throughput=throughput,
             light=light, bounces=bounces, invis=invis,
@@ -551,5 +573,7 @@ def run_megakernel(
         return s
 
     final = lax.while_loop(cond, body_unrolled, lane)
+    if return_state:
+        return final
     mean = final.acc / jnp.float32(rays_per_pixel)
     return mean, jnp.sum(final.segments.astype(jnp.float32)), final.iters

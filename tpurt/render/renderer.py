@@ -170,6 +170,110 @@ def _render_tile_impl(
     return mean.reshape(tile_h, tile_w, 3), seg
 
 
+_MEGA_STAGE_ITERS = 384  # iterations per capped stage before a host check
+
+
+def _mega_statics(cfg: RenderConfig, width: int, height: int) -> dict:
+    return dict(
+        width=width, height=height,
+        rays_per_pixel=cfg.rays_per_pixel, max_bounces=cfg.max_bounces,
+        seed_mode=cfg.seed_mode, invisible_budget=cfg.invisible_budget,
+        subpixel_jitter=cfg.subpixel_jitter,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "tile_h", "tile_w", "width", "height", "rays_per_pixel", "max_bounces",
+    "seed_mode", "invisible_budget", "subpixel_jitter",
+), keep_unused=True)
+def _mega_stage_start(scene, camera, coords, *, tile_h, tile_w, **statics):
+    from tpurt.render.megakernel import run_megakernel
+
+    x0, y0 = coords[0], coords[1]
+    frame_index, sample_offset = coords[2], coords[3]
+    xs, ys = _tile_pixel_coords(tile_h, tile_w, x0, y0)
+    width = statics["width"]
+    pixel_index = ys.astype(jnp.uint32) * jnp.uint32(width) + xs.astype(jnp.uint32)
+    uv = pixel_uv(xs, ys, width, statics["height"])
+    ro0, rd0 = make_ray(camera, uv)
+    state = run_megakernel(
+        scene, ro0, rd0, pixel_index, frame_index,
+        sample_offset=sample_offset, camera=camera,
+        max_iterations=_MEGA_STAGE_ITERS, return_state=True, **statics,
+    )
+    return state, jnp.sum(~state.done)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "width", "height", "rays_per_pixel", "max_bounces",
+    "seed_mode", "invisible_budget", "subpixel_jitter", "uncapped",
+), keep_unused=True)
+def _mega_stage_more(scene, camera, state, frame_and_offset, *, uncapped=False,
+                     **statics):
+    from tpurt.render.megakernel import run_megakernel
+
+    out = run_megakernel(
+        scene, state.ro0, state.rd0, state.pix, frame_and_offset[0],
+        sample_offset=frame_and_offset[1],
+        camera=camera, initial_state=state,
+        max_iterations=None if uncapped else _MEGA_STAGE_ITERS,
+        return_state=True, **statics,
+    )
+    return out, jnp.sum(~out.done)
+
+
+@functools.partial(jax.jit, static_argnames=("quarter",))
+def _mega_compact(state, *, quarter: int):
+    # Stable-sort active lanes to the front, take a quarter-size batch.
+    order = jnp.argsort(state.done, stable=True)
+    idx = order[:quarter]
+    r = state.done.shape[0]
+    small = jax.tree_util.tree_map(
+        lambda a: a[idx] if getattr(a, "ndim", 0) >= 1 and a.shape[0] == r else a,
+        state,
+    )
+    return small, idx
+
+
+@jax.jit
+def _mega_merge(state, small, idx, spp):
+    acc = state.acc.at[idx].set(small.acc)
+    segments = state.segments.at[idx].set(small.segments)
+    mean = acc / spp.astype(jnp.float32)
+    return mean, jnp.sum(segments.astype(jnp.float32))
+
+
+def _render_tile_mega_staged(
+    scene, camera, cfg: RenderConfig, x0, y0, tile_h, tile_w, frame_index
+):
+    """Host-driven megakernel with lane compaction: run capped stages at
+    full width while most lanes retire, then shrink to the surviving
+    quarter and let the deep tail finish without taxing every lane."""
+    statics = _mega_statics(cfg, cfg.width, cfg.height)
+    coords = jnp.asarray([x0, y0, frame_index, 0], jnp.int32)
+    r = tile_h * tile_w
+    quarter = max(r // 4, 1024)
+
+    fo = jnp.asarray([frame_index, 0], jnp.int32)
+    state, active = _mega_stage_start(
+        scene, camera, coords, tile_h=tile_h, tile_w=tile_w, **statics
+    )
+    active = int(active)
+    while active > quarter:
+        state, active = _mega_stage_more(scene, camera, state, fo, **statics)
+        active = int(active)
+    if active > 0:
+        small, idx = _mega_compact(state, quarter=quarter)
+        small, _ = _mega_stage_more(
+            scene, camera, small, fo, uncapped=True, **statics
+        )
+        mean, segs = _mega_merge(state, small, idx, jnp.int32(cfg.rays_per_pixel))
+    else:
+        mean = state.acc / jnp.float32(cfg.rays_per_pixel)
+        segs = jnp.sum(state.segments.astype(jnp.float32))
+    return mean.reshape(tile_h, tile_w, 3), segs
+
+
 def render_tile(
     scene: Scene,
     camera: Camera,
@@ -200,6 +304,15 @@ def render_tile_with_stats(
     the exact ray count of the Mrays/s metric."""
     tile_h = tile_h or min(cfg.tile_size, cfg.height)
     tile_w = tile_w or min(cfg.tile_size, cfg.width)
+    if (
+        cfg.engine == "mega"
+        and cfg.compaction_threshold
+        and tile_h * tile_w >= cfg.compaction_threshold
+        and cfg.max_bounces > 0
+    ):
+        return _render_tile_mega_staged(
+            scene, camera, cfg, x0, y0, tile_h, tile_w, frame_index
+        )
     return _render_tile_impl(
         scene, camera,
         jnp.asarray([x0, y0, frame_index, 0], jnp.int32),
