@@ -52,6 +52,7 @@ def trace_paths(
     invisible_budget: int = 32,
     bruteforce_threshold: int = 4096,
     first_hit=None,
+    dense_engine: str = "exact",
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Trace one path per lane; returns (radiance (R,3), rng_state,
     path_length (R,) i32 — scene-intersection count per path, the ray
@@ -101,7 +102,9 @@ def trace_paths(
         )
 
     def body(s: _PathState) -> _PathState:
-        hit = intersect_scene(scene, s.origin, s.direction, bruteforce_threshold)
+        hit = intersect_scene(
+            scene, s.origin, s.direction, bruteforce_threshold, dense_engine
+        )
         return body_with_hit(s, hit)
 
     if first_hit is not None:

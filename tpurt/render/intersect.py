@@ -191,12 +191,25 @@ def _mt_sweep(
 
 
 def _bruteforce_range(
-    scene: Scene, ro, rd, first: int, count: int, cull, chunk: int = 2048
+    scene: Scene, ro, rd, first: int, count: int, cull, chunk: int = 2048,
+    dense_engine: str = "exact",
 ) -> _LocalBest:
     best = _LocalBest(
         t=jnp.full(ro.shape[:-1], _INF, _F32),
         tri=jnp.full(ro.shape[:-1], -1, jnp.int32),
     )
+    if dense_engine == "plucker":
+        from tpurt.render.plucker import build_plucker_table, plucker_sweep
+
+        idx = jnp.arange(first, first + count)
+        table = build_plucker_table(
+            scene.tri_pos_a[idx], scene.tri_pos_b[idx], scene.tri_pos_c[idx],
+            cull=jnp.broadcast_to(cull, (count,)), tri_id=idx,
+            na=scene.tri_nrm_a[idx], nb=scene.tri_nrm_b[idx],
+            nc=scene.tri_nrm_c[idx],
+        )
+        t, tri = plucker_sweep(ro, rd, table, best.t, best.tri)
+        return _LocalBest(t=t, tri=tri)
     for start in range(first, first + count, chunk):
         n = min(chunk, first + count - start)
         idx = jnp.arange(start, start + n)
@@ -207,7 +220,7 @@ def _bruteforce_range(
 
 def _bruteforce_indices(
     scene: Scene, ro, rd, tri_idx: np.ndarray, cull_flags: jnp.ndarray,
-    chunk: int = 2048,
+    chunk: int = 2048, dense_engine: str = "exact",
 ) -> _LocalBest:
     """Brute force over an arbitrary static triangle index list with
     per-triangle (traced) cull flags — the fused static-mesh pass."""
@@ -215,6 +228,18 @@ def _bruteforce_indices(
         t=jnp.full(ro.shape[:-1], _INF, _F32),
         tri=jnp.full(ro.shape[:-1], -1, jnp.int32),
     )
+    if dense_engine == "plucker":
+        from tpurt.render.plucker import build_plucker_table, plucker_sweep
+
+        ids = jnp.asarray(tri_idx)
+        table = build_plucker_table(
+            scene.tri_pos_a[ids], scene.tri_pos_b[ids], scene.tri_pos_c[ids],
+            cull=cull_flags, tri_id=ids,
+            na=scene.tri_nrm_a[ids], nb=scene.tri_nrm_b[ids],
+            nc=scene.tri_nrm_c[ids],
+        )
+        t, tri = plucker_sweep(ro, rd, table, best.t, best.tri)
+        return _LocalBest(t=t, tri=tri)
     for start in range(0, len(tri_idx), chunk):
         ids = jnp.asarray(tri_idx[start : start + chunk])
         cull = cull_flags[start : start + chunk]
@@ -380,6 +405,7 @@ def intersect_scene(
     ro: jnp.ndarray,
     rd: jnp.ndarray,
     bruteforce_threshold: int = 4096,
+    dense_engine: str = "exact",
 ) -> Hit:
     """Closest hit of world rays (R, 3) against every mesh instance."""
     r = ro.shape[0]
@@ -423,10 +449,14 @@ def intersect_scene(
             [np.full(scene.mesh_tri_ranges[i][1], i, np.int32) for i in fused]
         )
         if len(tri_idx):
-            best = _fused_identity_pass(scene, ro, rd, tri_idx, owner, best)
+            best = _fused_identity_pass(
+                scene, ro, rd, tri_idx, owner, best, dense_engine
+            )
 
     for i in separate:
-        best = _transformed_mesh_pass(scene, ro, rd, i, bruteforce_threshold, best)
+        best = _transformed_mesh_pass(
+            scene, ro, rd, i, bruteforce_threshold, best, dense_engine
+        )
 
     return best
 
@@ -445,14 +475,18 @@ def _finalize_local(scene, lo, ld, lb: _LocalBest, cull):
     return valid, point, n, backface
 
 
-def _fused_identity_pass(scene, ro, rd, tri_idx, owner, best: Hit) -> Hit:
+def _fused_identity_pass(
+    scene, ro, rd, tri_idx, owner, best: Hit, dense_engine: str = "exact"
+) -> Hit:
     # Per-triangle cull flag from the owning mesh's material.
     owner_j = jnp.asarray(owner)
     cull_flags_all = jax.vmap(lambda i: _mesh_cull(scene, i))(owner_j)
     # WorldToLocalRay with identity transform still renormalises the
     # direction (Trace.cl:130); replicate so distances match exactly.
     ld = normalize3(rd)
-    lb = _bruteforce_indices(scene, ro, ld, tri_idx, cull_flags_all)
+    lb = _bruteforce_indices(
+        scene, ro, ld, tri_idx, cull_flags_all, dense_engine=dense_engine
+    )
 
     # The fused sweep applied per-tri culling already; recompute the
     # winner's data with its own cull flag.
@@ -490,7 +524,8 @@ def _searchsorted_map(tri_idx: np.ndarray, tri: jnp.ndarray) -> jnp.ndarray:
 
 
 def _transformed_mesh_pass(
-    scene, ro, rd, i: int, bruteforce_threshold: int, best: Hit
+    scene, ro, rd, i: int, bruteforce_threshold: int, best: Hit,
+    dense_engine: str = "exact",
 ) -> Hit:
     first, count = scene.mesh_tri_ranges[i]
     pos = scene.mesh_pos[i]
@@ -505,7 +540,9 @@ def _transformed_mesh_pass(
     ld = normalize3(rotate_t(rot, rd) / safe)
 
     if count <= bruteforce_threshold:
-        lb = _bruteforce_range(scene, lo, ld, first, count, cull)
+        lb = _bruteforce_range(
+            scene, lo, ld, first, count, cull, dense_engine=dense_engine
+        )
     else:
         # Seed pruning with the best hit from earlier meshes, converted
         # to local distance (world ~= scale * local) with a relative

@@ -49,7 +49,7 @@ def _tile_pixel_coords(tile_h: int, tile_w: int, x0, y0):
     static_argnames=(
         "tile_h", "tile_w", "width", "height", "rays_per_pixel", "max_bounces",
         "seed_mode", "invisible_budget", "bruteforce_threshold", "subpixel_jitter",
-        "engine",
+        "engine", "dense_engine",
     ),
     # The mega engine leaves many Scene fields unused; without this the
     # executable's parameter pruning has been observed to disagree with
@@ -77,6 +77,7 @@ def _render_tile_impl(
     bruteforce_threshold: int,
     subpixel_jitter: bool,
     engine: str = "mega",
+    dense_engine: str = "exact",
 ) -> jnp.ndarray:
     x0, y0 = coords[0], coords[1]
     frame_index, sample_offset = coords[2], coords[3]
@@ -125,13 +126,14 @@ def _render_tile_impl(
         # intersection consumes no RNG).
         ro, rd = camera_rays(jnp.uint32(0))
         state0 = rnglib.make_seed(pixel_index, frame_index, 0)
-        hit0 = intersect_scene(scene, ro, rd, bruteforce_threshold)
+        hit0 = intersect_scene(scene, ro, rd, bruteforce_threshold, dense_engine)
 
         def body(_, carry):
             acc, state, seg = carry
             light, state, segments = trace_paths(
                 scene, ro, rd, state, max_bounces,
                 invisible_budget, bruteforce_threshold, first_hit=hit0,
+                dense_engine=dense_engine,
             )
             return acc + light, state, seg + jnp.sum(segments.astype(jnp.float32))
 
@@ -147,7 +149,8 @@ def _render_tile_impl(
             None
             if subpixel_jitter
             else intersect_scene(
-                scene, *camera_rays(jnp.uint32(0)), bruteforce_threshold
+                scene, *camera_rays(jnp.uint32(0)), bruteforce_threshold,
+                dense_engine,
             )
         )
 
@@ -159,6 +162,7 @@ def _render_tile_impl(
             light, _, segments = trace_paths(
                 scene, ro, rd, state, max_bounces,
                 invisible_budget, bruteforce_threshold, first_hit=hit0,
+                dense_engine=dense_engine,
             )
             return acc + light, seg + jnp.sum(segments.astype(jnp.float32))
 
@@ -323,6 +327,7 @@ def render_tile_with_stats(
         bruteforce_threshold=cfg.bruteforce_threshold,
         subpixel_jitter=cfg.subpixel_jitter,
         engine=cfg.engine,
+        dense_engine=cfg.dense_engine,
     )
 
 
