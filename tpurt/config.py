@@ -78,9 +78,12 @@ class RenderConfig:
     #: small meshes on TPU.
     bruteforce_threshold: int = 4096
 
-    #: Pixels per ray-batch inside the integrator. Bounds peak HBM use
-    #: (each bounce keeps ~a dozen per-ray f32 lanes alive).
-    rays_per_batch: int = 65536
+    #: Lanes per megakernel launch on the flat (non-tiled) fast path.
+    #: The gather engine amortises its fixed per-iteration cost over the
+    #: batch (~110M rows/s at 65k lanes -> ~207M at 262k, measured), so
+    #: bigger is faster until HBM state streaming dominates. Full frames
+    #: render as ceil(W*H / rays_per_batch) flat launches.
+    rays_per_batch: int = 262144
 
     #: Lane-compaction threshold for the megakernel (single-chip path):
     #: tiles with at least this many pixels run in host-driven stages —

@@ -1,36 +1,44 @@
-"""Persistent-lane megakernel integrator over an 8-wide BVH.
+"""Persistent-lane megakernel integrator over a 16-wide BVH.
 
-The TPU fast path. Measured physics of this backend: device-loop
-iterations are bound by the gather engine at ~175M gathered ROWS per
-second, independent of row width; elementwise VPU work fused into the
-loop body is nearly free by comparison. The binding constraint is
-therefore (LOOP ITERATIONS) == (ROWS GATHERED PER LANE), which drives
-two design decisions:
+The TPU fast path. Measured physics of this backend (see
+notes/tpu_measurements.md): the gather engine delivers ~110M rows/s at
+65k lanes (~207M at 262k) INDEPENDENT of row width up to 160 f32, and
+every while_loop iteration costs a fixed ~0.1-0.4 ms on top. The
+binding constraint is therefore (LOOP ITERATIONS) == (ROWS GATHERED
+PER LANE), which drives the design:
 
   * ONE while_loop for the whole renderer. Each lane owns its entire
     task — pixel, sample loop, bounce loop, mesh chain, BVH cursor — as
     a state machine, so iterations approach the per-lane mean work
     instead of the product of per-phase maxima that a nested-loop
-    renderer pays (samples > bounces > meshes > traversal all sync to
-    their slowest lane).
-  * 8-WIDE BVH nodes. Row width is free, so each node row carries
-    eight children's uint8-quantised boxes (per-node grid,
-    conservative) and their targets; leaf rows carry both triangles
-    inline, exact f32. Visited rows drop ~2.5-3x versus binary nodes.
-    Traversal keeps a register-file stack of (row, next_slot) entries
-    — a shift chain of selects, no per-lane memory indexing — and
-    re-tests a node's remaining slots on pop, which also re-applies the
-    tightened distance bound for free.
+    renderer pays.
+  * 16-WIDE BVH nodes + 8-triangle leaf rows in one W=160 bank. Row
+    width is free, so each node row carries sixteen children's uint8-
+    quantised boxes (per-node grid, conservative) and their targets;
+    leaf rows carry up to eight exact-f32 triangles inline (subtrees
+    with <= 8 tris collapse into one row). Rows visited per path
+    segment drop ~3-4x versus the 8-wide/2-tri layout.
+  * INLINE STATIC STAGE. Small identity-transform meshes (the Cornell
+    quads — where most secondary segments terminate) are MT-tested
+    densely inside the shade iteration: zero gathered rows, no chain
+    entry. A wall-bound segment costs ONE loop iteration.
+  * ROOT PRETEST. Entering a traversal entry slab-tests the mesh's
+    root bounds against the static-stage distance bound first; lanes
+    whose segment resolves in front of the mesh skip its subtree
+    entirely (most diffuse bounces in a Cornell scene).
 
-Chain/shade structure and parity are as before: identity-transform
-meshes fuse into one world-space static BVH, OneSided meshes keep
-per-mesh rejection (Trace.cl:466-471), shading is the shared
-render/shading.py step (identical RNG stream to the modular engine and
-the scalar oracle), and the bounce-0 intersection of sample 0 replays
-for later samples (the reference reuses one camera ray per pixel,
-Trace.cl:636-641). Retired lanes idle until the batch drains
-(compaction is future work); closest-hit ties between coincident
-triangles resolve by traversal order (measure-zero; goldens gate it).
+Chain/shade structure and parity are as before: OneSided meshes keep
+per-mesh rejection (Trace.cl:466-471; single-quad OneSided meshes may
+move into the static stage, where candidate-level rejection is
+equivalent because all of a quad's candidates share one facing),
+shading is the shared render/shading.py step (identical RNG stream to
+the modular engine and the scalar oracle), and the bounce-0
+intersection of sample 0 replays for later samples (the reference
+reuses one camera ray per pixel, Trace.cl:636-641). Retired lanes idle
+until the batch drains (the host-staged compaction driver in
+render/renderer.py shrinks long tails); closest-hit ties between
+coincident triangles resolve by traversal order (measure-zero; goldens
+gate it).
 """
 
 from __future__ import annotations
@@ -46,6 +54,7 @@ from tpurt.config import EPSILON
 from tpurt.core import rng as rnglib
 from tpurt.core.vecmath import cross3, dot3, euler_rotation, length3, normalize3
 from tpurt.render.shading import shade_hit
+from tpurt.scene.builder import MEGA_ARITY, MEGA_LEAF_TRIS, MEGA_SLOT_BITS
 from tpurt.scene.types import MaterialType, Scene
 
 _F32 = jnp.float32
@@ -55,6 +64,7 @@ _INF = np.float32(np.inf)
 # corrupting later executables' hidden-constant lists ("Execution
 # supplied N buffers but compiled program expected N+k").
 _EMPTY = np.uint32(0xFFFFFFFF)
+_SLOT_MASK = np.uint32((1 << MEGA_SLOT_BITS) - 1)
 
 
 class _Lane(NamedTuple):
@@ -83,7 +93,7 @@ class _Lane(NamedTuple):
     cur: jnp.ndarray  # (R,) i32 row; -1 = entry exhausted
     cur_leaf: jnp.ndarray  # (R,) bool — cur is a leaf row
     cur_slot: jnp.ndarray  # (R,) i32 — first child slot to consider
-    stack: jnp.ndarray  # (R, S) u32 — (row << 4 | next_slot), 0xFFFFFFFF empty
+    stack: jnp.ndarray  # (R, S) u32 — (row << SLOT_BITS | next_slot)
     lo: jnp.ndarray  # (R, 3) local ray
     ld: jnp.ndarray
     lid: jnp.ndarray  # 1/ld
@@ -119,10 +129,13 @@ class _ChainParams(NamedTuple):
     scale: jnp.ndarray  # (E,)
     one_sided: jnp.ndarray  # (E,) bool
     cull: jnp.ndarray  # (E,) bool backface-cull policy (mesh entries)
+    rmin: jnp.ndarray  # (E, 3) local root bounds (pretest; -inf if n/a)
+    rmax: jnp.ndarray  # (E, 3)
 
 
 def _chain_params(scene: Scene) -> _ChainParams:
     pos_l, rot_l, scale_l, os_l, cull_l = [], [], [], [], []
+    rmin_l, rmax_l = [], []
     for mesh_idx, _root, _leaf in scene.mega_chain:
         if mesh_idx < 0:  # fused static entry: identity transform
             # numpy constants on purpose — see tpurt.core.rng._u32
@@ -131,6 +144,8 @@ def _chain_params(scene: Scene) -> _ChainParams:
             scale_l.append(np.float32(1.0))
             os_l.append(np.asarray(False))
             cull_l.append(np.asarray(True))  # unused; per-tri cull applies
+            rmin_l.append(np.full((3,), -_INF, np.float32))
+            rmax_l.append(np.full((3,), _INF, np.float32))
         else:
             i = mesh_idx
             pos_l.append(scene.mesh_pos[i])
@@ -147,6 +162,12 @@ def _chain_params(scene: Scene) -> _ChainParams:
                 & (mt != int(MaterialType.INVISIBLE))
                 & (mt != int(MaterialType.ONE_SIDED))
             )
+            # Local-space root bounds from the mesh's uint16 quant grid
+            # (it spans exactly the binary-BVH root box).
+            rmin_l.append(scene.mesh_qmin[i])
+            rmax_l.append(
+                scene.mesh_qmin[i] + np.float32(65535.0) * scene.mesh_qscale[i]
+            )
     return _ChainParams(
         root=tuple(r for _, r, _ in scene.mega_chain),
         root_leaf=tuple(l for _, _, l in scene.mega_chain),
@@ -156,6 +177,8 @@ def _chain_params(scene: Scene) -> _ChainParams:
         scale=jnp.stack(scale_l),
         one_sided=jnp.stack(os_l),
         cull=jnp.stack(cull_l),
+        rmin=jnp.stack(rmin_l),
+        rmax=jnp.stack(rmax_l),
     )
 
 
@@ -222,6 +245,94 @@ def _mt_inline(lo, ld, row, base, cull):
     return ok, t, n, backface, aux
 
 
+def _mt_static(lo, ld, row19, cull: bool):
+    """Exact MT of all lanes against ONE static triangle (a (19,) traced
+    row broadcast over lanes); same op order as _mt_single."""
+    pa = row19[0:3][None, :]
+    pb = row19[3:6][None, :]
+    pc = row19[6:9][None, :]
+    na = row19[9:12][None, :]
+    nb = row19[12:15][None, :]
+    nc = row19[15:18][None, :]
+
+    e1 = pb - pa
+    e2 = pc - pa
+    h = cross3(ld, e2)
+    det = dot3(e1, h)
+    ok = jnp.abs(det) >= EPSILON
+    f = 1.0 / det
+    s = lo - pa
+    u = f * dot3(s, h)
+    ok &= (u >= 0.0) & (u <= 1.0)
+    q = cross3(s, e1)
+    v = f * dot3(ld, q)
+    ok &= (v >= 0.0) & (u + v <= 1.0)
+    t = f * dot3(e2, q)
+    ok &= t > EPSILON
+    n = normalize3(na * (1.0 - u - v)[:, None] + nb * u[:, None] + nc * v[:, None])
+    backface = dot3(ld, n) > EPSILON
+    if cull:
+        ok &= ~backface
+    n = jnp.where(backface[:, None], -n, n)
+    return ok, t, n, backface
+
+
+def _static_stage(scene: Scene, enabled, origin, direction):
+    """Dense MT of the inline static triangles (Scene.mega_static_rows)
+    for lanes with a fresh ray; returns the seeded world-space best
+    (valid, dst, point, normal, back, mesh) exactly as the old fused
+    static chain entry would have produced it.
+
+    Identity WorldToLocalRay still renormalises the direction
+    (Trace.cl:130); replicated so distances stay bit-identical to the
+    oracle. Candidates fold in mesh/index order with strict <, matching
+    the reference's per-mesh loop order."""
+    s_count = len(scene.mega_static_cull)
+    r = origin.shape[0]
+    zero3 = jnp.zeros((r, 3), _F32)
+    falses = jnp.zeros((r,), bool)
+    if s_count == 0:
+        return (
+            falses, jnp.full((r,), _INF, _F32), zero3, zero3, falses,
+            jnp.zeros((r,), jnp.int32) - 1,
+        )
+
+    ld = normalize3(direction)
+    lt = jnp.full((r,), _INF, _F32)
+    lnrm = zero3
+    lback = falses
+    lmesh = jnp.zeros((r,), jnp.int32) - 1
+    for s_idx in range(s_count):
+        row19 = scene.mega_static_rows[s_idx]
+        ok, t, n, backface = _mt_static(
+            origin, ld, row19, bool(scene.mega_static_cull[s_idx])
+        )
+        # OneSided candidate rejection (equivalent to the reference's
+        # per-mesh rejection for planar quads; builder guarantees only
+        # those are inlined).
+        if scene.mega_static_onesided[s_idx]:
+            ok &= ~backface
+        owner = lax.bitcast_convert_type(row19[18], jnp.int32)
+        win = enabled & ok & (t < lt)
+        lt = jnp.where(win, t, lt)
+        lnrm = jnp.where(win[:, None], n, lnrm)
+        lback = jnp.where(win, backface, lback)
+        lmesh = jnp.where(win, owner, lmesh)
+
+    valid = enabled & (lmesh >= 0)
+    point = origin + ld * lt[:, None]
+    n_w = normalize3(lnrm)
+    dst = length3(point - origin)
+    return (
+        valid,
+        jnp.where(valid, dst, _INF),
+        jnp.where(valid[:, None], point, 0.0),
+        jnp.where(valid[:, None], n_w, 0.0),
+        valid & lback,
+        jnp.where(valid, lmesh, -1),
+    )
+
+
 def _static_cull(scene: Scene, owner: jnp.ndarray) -> jnp.ndarray:
     """Backface-cull policy by owner mesh id (cull unless
     Glassy/Invisible/OneSided, Trace.cl:460-462)."""
@@ -267,8 +378,8 @@ def run_megakernel(
     if max_bounces <= 0 and not return_state:
         return jnp.zeros((r, 3), _F32), jnp.float32(0.0), jnp.int32(0)
 
-    params = _chain_params(scene)
     e_count = len(scene.mega_chain)
+    params = _chain_params(scene) if e_count else None
     s_depth = scene.mega_stack_depth
     use_cache = not subpixel_jitter
 
@@ -298,9 +409,27 @@ def run_megakernel(
     zero3 = jnp.zeros((r, 3), _F32)
     zeros_i = jnp.zeros((r,), jnp.int32)
     falses = jnp.zeros((r,), bool)
+    trues = jnp.ones((r,), bool)
     empty_stack = jnp.full((r, s_depth), _EMPTY, jnp.uint32)
 
-    lo0, ld0, lid0, root0, root_leaf0 = _enter(params, e_count, zeros_i, ro0, rd0)
+    # Seed the world best with the inline static stage for the primary
+    # segment, then enter the chain (with root pretest).
+    sv, sd, sp, sn, sb, sm = _static_stage(scene, trues, ro0, rd0)
+    if e_count:
+        lo0, ld0, lid0, root0, root_leaf0 = _enter(
+            params, e_count, zeros_i, ro0, rd0
+        )
+        scale0 = _select_e(params.scale, zeros_i, e_count)
+        safe0 = jnp.where(jnp.abs(scale0) > EPSILON, scale0, _F32(1.0))
+        rmin0 = _select_e(params.rmin, zeros_i, e_count)
+        rmax0 = _select_e(params.rmax, zeros_i, e_count)
+        pre_ok0, _ = _aabb_rows(lo0, lid0, rmin0, rmax0, sd / safe0 * _F32(1.001))
+        cur0 = jnp.where(pre_ok0, root0, -1)
+    else:
+        lo0, ld0, lid0 = ro0, rd0, 1.0 / rd0
+        cur0 = zeros_i - 1
+        root_leaf0 = falses
+
     lane = _Lane(
         iters=jnp.int32(0),
         ro0=ro0, rd0=rd0, pix=pixel_index,
@@ -311,12 +440,13 @@ def run_megakernel(
         throughput=jnp.ones((r, 3), _F32), light=zero3,
         bounces=zeros_i, invis=zeros_i,
         entry=zeros_i,
-        cur=root0, cur_leaf=root_leaf0, cur_slot=zeros_i, stack=empty_stack,
+        cur=cur0, cur_leaf=root_leaf0 & (cur0 >= 0), cur_slot=zeros_i,
+        stack=empty_stack,
         lo=lo0, ld=ld0, lid=lid0,
         lt=jnp.full((r,), _INF, _F32), lnrm=zero3, lback=falses,
         lmesh=zeros_i - 1,
-        w_valid=falses, w_dst=jnp.full((r,), _INF, _F32),
-        w_point=zero3, w_normal=zero3, w_back=falses, w_mesh=zeros_i - 1,
+        w_valid=sv, w_dst=sd,
+        w_point=sp, w_normal=sn, w_back=sb, w_mesh=sm,
         c_set=falses, c_valid=falses, c_point=zero3, c_normal=zero3,
         c_back=falses, c_mesh=zeros_i - 1, c_dst=jnp.full((r,), _INF, _F32),
     )
@@ -333,147 +463,169 @@ def run_megakernel(
 
     def body(s: _Lane) -> _Lane:
         # ---------------- TRAVERSE: the one gather -------------------
-        trav = ~s.done & (s.entry < e_count) & (s.cur >= 0)
-        idx = jnp.where(trav, s.cur, 0)
-        row = scene.mega_rows[idx]  # (R, 40)
+        if e_count:
+            trav = ~s.done & (s.entry < e_count) & (s.cur >= 0)
+            idx = jnp.where(trav, s.cur, 0)
+            row = scene.mega_rows[idx]  # (R, MEGA_ROW_WIDTH)
 
-        entry_c = jnp.minimum(s.entry, e_count - 1)
-        scale_e = _select_e(params.scale, entry_c, e_count)
-        safe_e = jnp.where(jnp.abs(scale_e) > EPSILON, scale_e, _F32(1.0))
-        limit = jnp.minimum(s.lt, s.w_dst / safe_e * _F32(1.001))
+            entry_c = jnp.minimum(s.entry, e_count - 1)
+            scale_e = _select_e(params.scale, entry_c, e_count)
+            safe_e = jnp.where(jnp.abs(scale_e) > EPSILON, scale_e, _F32(1.0))
+            limit = jnp.minimum(s.lt, s.w_dst / safe_e * _F32(1.001))
 
-        # --- leaf branch: two inline exact MT tests -------------------
-        leaf_on = trav & s.cur_leaf
-        entry_mesh = _select_scalar(params.mesh, entry_c, e_count, jnp.int32)
-        is_static = entry_mesh < 0
-        cull_mesh_e = _select_e(params.cull, entry_c, e_count)
-        lt, lnrm, lback, lmesh = s.lt, s.lnrm, s.lback, s.lmesh
-        for k in range(2):
-            aux_raw = lax.bitcast_convert_type(row[:, 19 * k + 18], jnp.int32)
-            cull = jnp.where(is_static, _static_cull(scene, aux_raw), cull_mesh_e)
-            ok, t, n, backface, aux = _mt_inline(s.lo, s.ld, row, 19 * k, cull)
-            cand_mesh = jnp.where(is_static, aux, entry_mesh)
-            win = leaf_on & ok & (t < lt)
-            lt = jnp.where(win, t, lt)
-            lnrm = jnp.where(win[:, None], n, lnrm)
-            lback = jnp.where(win, backface, lback)
-            lmesh = jnp.where(win, cand_mesh, lmesh)
+            # --- leaf branch: inline exact MT tests -------------------
+            leaf_on = trav & s.cur_leaf
+            entry_mesh = _select_scalar(params.mesh, entry_c, e_count, jnp.int32)
+            is_static = entry_mesh < 0
+            cull_mesh_e = _select_e(params.cull, entry_c, e_count)
+            lt, lnrm, lback, lmesh = s.lt, s.lnrm, s.lback, s.lmesh
+            for k in range(MEGA_LEAF_TRIS):
+                aux_raw = lax.bitcast_convert_type(
+                    row[:, 19 * k + 18], jnp.int32
+                )
+                cull = jnp.where(
+                    is_static, _static_cull(scene, aux_raw), cull_mesh_e
+                )
+                ok, t, n, backface, aux = _mt_inline(s.lo, s.ld, row, 19 * k, cull)
+                cand_mesh = jnp.where(is_static, aux, entry_mesh)
+                win = leaf_on & ok & (t < lt)
+                lt = jnp.where(win, t, lt)
+                lnrm = jnp.where(win[:, None], n, lnrm)
+                lback = jnp.where(win, backface, lback)
+                lmesh = jnp.where(win, cand_mesh, lmesh)
 
-        # --- node branch: test 8 quantised children -------------------
-        # Children are build-sorted along the node's widest axis
-        # (row[30]); visiting them in direction-signed PRIORITY order
-        # (forward when the local ray points up the axis, reversed
-        # otherwise) makes near children test first, so the distance
-        # bound prunes far siblings. cur_slot is a priority threshold
-        # for resuming a popped node.
-        node_on = trav & ~s.cur_leaf
-        grid_o = row[:, 0:3]
-        grid_s = row[:, 3:6]
-        sort_axis = lax.bitcast_convert_type(row[:, 30], jnp.int32)
-        dcomp = jnp.where(
-            sort_axis == 0, s.ld[:, 0],
-            jnp.where(sort_axis == 1, s.ld[:, 1], s.ld[:, 2]),
-        )
-        fwd = dcomp >= 0.0
-        best_prio = jnp.full((r,), 8, jnp.int32)
-        first_meta = zeros_i
-        hit_count = zeros_i
-        for slot in range(8):
-            base = 6 + 3 * slot
-            w0 = lax.bitcast_convert_type(row[:, base], jnp.uint32)
-            w1 = lax.bitcast_convert_type(row[:, base + 1], jnp.uint32)
-            meta = lax.bitcast_convert_type(row[:, base + 2], jnp.int32)
-            m8 = jnp.uint32(0xFF)
-            q_lo = jnp.stack(
-                [w0 & m8, (w0 >> 8) & m8, (w0 >> 16) & m8], -1
-            ).astype(_F32)
-            q_hi = jnp.stack(
-                [(w0 >> 24) & m8, w1 & m8, (w1 >> 8) & m8], -1
-            ).astype(_F32)
-            bmin = grid_o + q_lo * grid_s
-            bmax = grid_o + q_hi * grid_s
-            t0 = (bmin - s.lo) * s.lid
-            t1 = (bmax - s.lo) * s.lid
-            tsm = jnp.minimum(t0, t1)
-            tbg = jnp.maximum(t0, t1)
-            tsm = jnp.where(jnp.isnan(tsm), -jnp.inf, tsm)
-            tbg = jnp.where(jnp.isnan(tbg), jnp.inf, tbg)
-            tmin = jnp.max(tsm, -1)
-            tmax = jnp.min(tbg, -1)
-            prio = jnp.where(fwd, slot, 7 - slot)
-            hit = (tmax >= jnp.maximum(tmin, 0.0)) & (tmin < limit)
-            hit &= (meta != 0) & (prio >= s.cur_slot)
-            better = hit & (prio < best_prio)
-            best_prio = jnp.where(better, prio, best_prio)
-            first_meta = jnp.where(better, meta, first_meta)
-            hit_count = hit_count + hit.astype(jnp.int32)
+            # --- node branch: test MEGA_ARITY quantised children -------
+            # Children are build-sorted along the node's widest axis
+            # (row[6]); visiting them in direction-signed PRIORITY order
+            # (forward when the local ray points up the axis, reversed
+            # otherwise) makes near children test first, so the distance
+            # bound prunes far siblings. cur_slot is a priority threshold
+            # for resuming a popped node.
+            node_on = trav & ~s.cur_leaf
+            grid_o = row[:, 0:3]
+            grid_s = row[:, 3:6]
+            sort_axis = lax.bitcast_convert_type(row[:, 6], jnp.int32)
+            dcomp = jnp.where(
+                sort_axis == 0, s.ld[:, 0],
+                jnp.where(sort_axis == 1, s.ld[:, 1], s.ld[:, 2]),
+            )
+            fwd = dcomp >= 0.0
+            best_prio = jnp.full((r,), MEGA_ARITY, jnp.int32)
+            first_meta = zeros_i
+            hit_count = zeros_i
+            for slot in range(MEGA_ARITY):
+                base = 7 + 3 * slot
+                w0 = lax.bitcast_convert_type(row[:, base], jnp.uint32)
+                w1 = lax.bitcast_convert_type(row[:, base + 1], jnp.uint32)
+                meta = lax.bitcast_convert_type(row[:, base + 2], jnp.int32)
+                m8 = jnp.uint32(0xFF)
+                q_lo = jnp.stack(
+                    [w0 & m8, (w0 >> 8) & m8, (w0 >> 16) & m8], -1
+                ).astype(_F32)
+                q_hi = jnp.stack(
+                    [(w0 >> 24) & m8, w1 & m8, (w1 >> 8) & m8], -1
+                ).astype(_F32)
+                bmin = grid_o + q_lo * grid_s
+                bmax = grid_o + q_hi * grid_s
+                t0 = (bmin - s.lo) * s.lid
+                t1 = (bmax - s.lo) * s.lid
+                tsm = jnp.minimum(t0, t1)
+                tbg = jnp.maximum(t0, t1)
+                tsm = jnp.where(jnp.isnan(tsm), -jnp.inf, tsm)
+                tbg = jnp.where(jnp.isnan(tbg), jnp.inf, tbg)
+                tmin = jnp.max(tsm, -1)
+                tmax = jnp.min(tbg, -1)
+                prio = jnp.where(fwd, slot, MEGA_ARITY - 1 - slot)
+                hit = (tmax >= jnp.maximum(tmin, 0.0)) & (tmin < limit)
+                hit &= (meta != 0) & (prio >= s.cur_slot)
+                better = hit & (prio < best_prio)
+                best_prio = jnp.where(better, prio, best_prio)
+                first_meta = jnp.where(better, meta, first_meta)
+                hit_count = hit_count + hit.astype(jnp.int32)
 
-        first_found = best_prio < 8
-        descend = node_on & first_found
-        push = descend & (hit_count >= 2)
-        pop = (node_on & ~first_found) | leaf_on
+            first_found = best_prio < MEGA_ARITY
+            descend = node_on & first_found
+            push = descend & (hit_count >= 2)
+            pop = (node_on & ~first_found) | leaf_on
 
-        # push (row << 4 | next priority threshold); push/pop disjoint
-        push_entry = (
-            (jnp.where(trav, s.cur, 0).astype(jnp.uint32) << jnp.uint32(4))
-            | (best_prio + 1).astype(jnp.uint32)
-        )
-        top = s.stack[:, 0]
-        top_empty = top == _EMPTY
-        stack = jnp.where(
-            push[:, None],
-            jnp.concatenate([push_entry[:, None], s.stack[:, :-1]], axis=1),
-            jnp.where(
-                (pop & ~top_empty)[:, None],
-                jnp.concatenate(
-                    [s.stack[:, 1:], jnp.full((r, 1), _EMPTY, jnp.uint32)], axis=1
+            # push (row << SLOT_BITS | next priority threshold)
+            push_entry = (
+                (jnp.where(trav, s.cur, 0).astype(jnp.uint32)
+                 << jnp.uint32(MEGA_SLOT_BITS))
+                | (best_prio + 1).astype(jnp.uint32)
+            )
+            top = s.stack[:, 0]
+            top_empty = top == _EMPTY
+            stack = jnp.where(
+                push[:, None],
+                jnp.concatenate([push_entry[:, None], s.stack[:, :-1]], axis=1),
+                jnp.where(
+                    (pop & ~top_empty)[:, None],
+                    jnp.concatenate(
+                        [s.stack[:, 1:], jnp.full((r, 1), _EMPTY, jnp.uint32)],
+                        axis=1,
+                    ),
+                    s.stack,
                 ),
-                s.stack,
-            ),
-        )
+            )
 
-        cur = s.cur
-        cur_leaf = s.cur_leaf
-        cur_slot = s.cur_slot
-        # descend into the first hit child
-        cur = jnp.where(descend, first_meta >> 1, cur)
-        cur_leaf = jnp.where(descend, (first_meta & 1) == 1, cur_leaf)
-        cur_slot = jnp.where(descend, 0, cur_slot)
-        # pop: resume a saved (row, slot) or finish the entry
-        resume = pop & ~top_empty
-        cur = jnp.where(resume, (top >> jnp.uint32(4)).astype(jnp.int32), cur)
-        cur_slot = jnp.where(
-            resume, (top & jnp.uint32(0xF)).astype(jnp.int32), cur_slot
-        )
-        cur_leaf = jnp.where(resume, False, cur_leaf)
-        cur = jnp.where(pop & top_empty, -1, cur)
+            cur = s.cur
+            cur_leaf = s.cur_leaf
+            cur_slot = s.cur_slot
+            # descend into the first hit child
+            cur = jnp.where(descend, first_meta >> 1, cur)
+            cur_leaf = jnp.where(descend, (first_meta & 1) == 1, cur_leaf)
+            cur_slot = jnp.where(descend, 0, cur_slot)
+            # pop: resume a saved (row, slot) or finish the entry
+            resume = pop & ~top_empty
+            cur = jnp.where(
+                resume, (top >> jnp.uint32(MEGA_SLOT_BITS)).astype(jnp.int32), cur
+            )
+            cur_slot = jnp.where(
+                resume, (top & _SLOT_MASK).astype(jnp.int32), cur_slot
+            )
+            cur_leaf = jnp.where(resume, False, cur_leaf)
+            cur = jnp.where(pop & top_empty, -1, cur)
 
-        # ---------------- NEXT-MESH: fold + enter --------------------
-        fin = ~s.done & (s.entry < e_count) & (cur < 0)
-        lvalid = fin & (lmesh >= 0)
-        one_sided_e = _select_e(params.one_sided, entry_c, e_count)
-        lvalid &= ~(one_sided_e & lback)
-        lvalid &= scale_e > EPSILON
-        rot_e = _select_e(params.rot, entry_c, e_count)
-        pos_e = _select_e(params.pos, entry_c, e_count)
-        point_l = s.lo + s.ld * lt[:, None]
-        point_w = jnp.einsum("rij,rj->ri", rot_e, point_l * scale_e[:, None]) + pos_e
-        n_w = normalize3(jnp.einsum("rij,rj->ri", rot_e, lnrm))
-        dst = length3(point_w - s.origin)
-        closer = lvalid & (dst < s.w_dst)
-        w_valid = jnp.where(fin, s.w_valid | closer, s.w_valid)
-        w_dst = jnp.where(closer, dst, s.w_dst)
-        w_point = jnp.where(closer[:, None], point_w, s.w_point)
-        w_normal = jnp.where(closer[:, None], n_w, s.w_normal)
-        w_back = jnp.where(closer, lback, s.w_back)
-        w_mesh = jnp.where(closer, lmesh, s.w_mesh)
+            # ---------------- NEXT-MESH: fold + enter --------------------
+            fin = ~s.done & (s.entry < e_count) & (cur < 0)
+            lvalid = fin & (lmesh >= 0)
+            one_sided_e = _select_e(params.one_sided, entry_c, e_count)
+            lvalid &= ~(one_sided_e & lback)
+            lvalid &= scale_e > EPSILON
+            rot_e = _select_e(params.rot, entry_c, e_count)
+            pos_e = _select_e(params.pos, entry_c, e_count)
+            point_l = s.lo + s.ld * lt[:, None]
+            point_w = (
+                jnp.einsum("rij,rj->ri", rot_e, point_l * scale_e[:, None])
+                + pos_e
+            )
+            n_w = normalize3(jnp.einsum("rij,rj->ri", rot_e, lnrm))
+            dst = length3(point_w - s.origin)
+            closer = lvalid & (dst < s.w_dst)
+            w_valid = jnp.where(fin, s.w_valid | closer, s.w_valid)
+            w_dst = jnp.where(closer, dst, s.w_dst)
+            w_point = jnp.where(closer[:, None], point_w, s.w_point)
+            w_normal = jnp.where(closer[:, None], n_w, s.w_normal)
+            w_back = jnp.where(closer, lback, s.w_back)
+            w_mesh = jnp.where(closer, lmesh, s.w_mesh)
 
-        entry = jnp.where(fin, s.entry + 1, s.entry)
-        in_chain = fin & (entry < e_count)
-        lt = jnp.where(fin, _INF, lt)
-        lnrm = jnp.where(fin[:, None], 0.0, lnrm)
-        lback = jnp.where(fin, False, lback)
-        lmesh = jnp.where(fin, -1, lmesh)
+            entry = jnp.where(fin, s.entry + 1, s.entry)
+            in_chain = fin & (entry < e_count)
+            lt = jnp.where(fin, _INF, lt)
+            lnrm = jnp.where(fin[:, None], 0.0, lnrm)
+            lback = jnp.where(fin, False, lback)
+            lmesh = jnp.where(fin, -1, lmesh)
+        else:
+            # no traversal entries: every active lane shades each iter
+            stack = s.stack
+            cur, cur_leaf, cur_slot = s.cur, s.cur_leaf, s.cur_slot
+            lt, lnrm, lback, lmesh = s.lt, s.lnrm, s.lback, s.lmesh
+            w_valid, w_dst = s.w_valid, s.w_dst
+            w_point, w_normal = s.w_point, s.w_normal
+            w_back, w_mesh = s.w_back, s.w_mesh
+            entry = s.entry
+            in_chain = falses
 
         # ---------------- SHADE ---------------------------------------
         shade = ~s.done & (entry >= e_count)
@@ -525,24 +677,20 @@ def run_megakernel(
         entry = jnp.where(restart, 0, entry)
         stack = jnp.where(restart[:, None], _EMPTY, stack)
 
-        # ONE local-frame entry computation serves both transitions
-        # (advancing to the next chain entry and restarting at entry 0
-        # with the bounced/new ray): by this point `entry` and
-        # origin/direction hold their final values for the iteration.
-        entering = in_chain | restart
-        lo2, ld2, lid2, root2, root_leaf2 = _enter(
-            params, e_count, entry, origin, direction
-        )
-        lo = jnp.where(entering[:, None], lo2, s.lo)
-        ld = jnp.where(entering[:, None], ld2, s.ld)
-        lid = jnp.where(entering[:, None], lid2, s.lid)
-        cur = jnp.where(entering, root2, cur)
-        cur_leaf = jnp.where(entering, root_leaf2, cur_leaf)
-        cur_slot = jnp.where(entering, 0, cur_slot)
-
+        # ---- world-best reset + static stage + cached replay ----------
+        # (before `entering` so the root pretest sees the seeded w_dst)
         w_valid = jnp.where(shade, False, w_valid)
         w_dst = jnp.where(shade, _INF, w_dst)
         w_mesh = jnp.where(shade, -1, w_mesh)
+
+        sv, sd, sp, sn, sb, sm = _static_stage(scene, restart, origin, direction)
+        w_valid = jnp.where(restart, sv, w_valid)
+        w_dst = jnp.where(restart, sd, w_dst)
+        w_point = jnp.where(restart[:, None], sp, w_point)
+        w_normal = jnp.where(restart[:, None], sn, w_normal)
+        w_back = jnp.where(restart, sb, w_back)
+        w_mesh = jnp.where(restart, sm, w_mesh)
+
         entry = jnp.where(replay, e_count, entry)
         w_valid = jnp.where(replay, c_valid, w_valid)
         w_dst = jnp.where(replay, c_dst, w_dst)
@@ -550,6 +698,35 @@ def run_megakernel(
         w_normal = jnp.where(replay[:, None], c_normal, w_normal)
         w_back = jnp.where(replay, c_back, w_back)
         w_mesh = jnp.where(replay, c_mesh, w_mesh)
+
+        # ONE local-frame entry computation serves both transitions
+        # (advancing to the next chain entry and restarting at entry 0
+        # with the bounced/new ray): by this point `entry` and
+        # origin/direction hold their final values for the iteration.
+        if e_count:
+            entering = in_chain | restart
+            lo2, ld2, lid2, root2, root_leaf2 = _enter(
+                params, e_count, entry, origin, direction
+            )
+            # Root pretest: skip the whole subtree when the entry's
+            # local root box lies beyond the already-found best hit
+            # (seeded by the static stage) or misses the ray.
+            entry_c2 = jnp.minimum(entry, e_count - 1)
+            scale2 = _select_e(params.scale, entry_c2, e_count)
+            safe2 = jnp.where(jnp.abs(scale2) > EPSILON, scale2, _F32(1.0))
+            rmin2 = _select_e(params.rmin, entry_c2, e_count)
+            rmax2 = _select_e(params.rmax, entry_c2, e_count)
+            pre_ok, _ = _aabb_rows(lo2, lid2, rmin2, rmax2,
+                                   w_dst / safe2 * _F32(1.001))
+            root_or_skip = jnp.where(pre_ok, root2, -1)
+            lo = jnp.where(entering[:, None], lo2, s.lo)
+            ld = jnp.where(entering[:, None], ld2, s.ld)
+            lid = jnp.where(entering[:, None], lid2, s.lid)
+            cur = jnp.where(entering, root_or_skip, cur)
+            cur_leaf = jnp.where(entering, root_leaf2 & pre_ok, cur_leaf)
+            cur_slot = jnp.where(entering, 0, cur_slot)
+        else:
+            lo, ld, lid = s.lo, s.ld, s.lid
 
         return _Lane(
             iters=s.iters + 1,
@@ -577,3 +754,16 @@ def run_megakernel(
         return final
     mean = final.acc / jnp.float32(rays_per_pixel)
     return mean, jnp.sum(final.segments.astype(jnp.float32)), final.iters
+
+
+def _aabb_rows(lo, lid, bmin, bmax, limit):
+    """Slab test of per-lane boxes (all (R,3)) with a distance bound."""
+    t0 = (bmin - lo) * lid
+    t1 = (bmax - lo) * lid
+    tsm = jnp.minimum(t0, t1)
+    tbg = jnp.maximum(t0, t1)
+    tsm = jnp.where(jnp.isnan(tsm), -jnp.inf, tsm)
+    tbg = jnp.where(jnp.isnan(tbg), jnp.inf, tbg)
+    tmin = jnp.max(tsm, -1)
+    tmax = jnp.min(tbg, -1)
+    return (tmax >= jnp.maximum(tmin, 0.0)) & (tmin < limit), tmin

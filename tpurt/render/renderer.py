@@ -247,21 +247,13 @@ def _mega_merge(state, small, idx, spp):
     return mean, jnp.sum(segments.astype(jnp.float32))
 
 
-def _render_tile_mega_staged(
-    scene, camera, cfg: RenderConfig, x0, y0, tile_h, tile_w, frame_index
-):
-    """Host-driven megakernel with lane compaction: run capped stages at
-    full width while most lanes retire, then shrink to the surviving
-    quarter and let the deep tail finish without taxing every lane."""
+def _mega_finish_staged(scene, camera, cfg: RenderConfig, state, active, fo, r):
+    """Shared tail of the host-staged compaction driver: run capped
+    stages at full width while most lanes retire, then shrink to the
+    surviving quarter and let the deep tail finish without taxing every
+    lane. Returns (mean (R,3), segs)."""
     statics = _mega_statics(cfg, cfg.width, cfg.height)
-    coords = jnp.asarray([x0, y0, frame_index, 0], jnp.int32)
-    r = tile_h * tile_w
     quarter = max(r // 4, 1024)
-
-    fo = jnp.asarray([frame_index, 0], jnp.int32)
-    state, active = _mega_stage_start(
-        scene, camera, coords, tile_h=tile_h, tile_w=tile_w, **statics
-    )
     active = int(active)
     while active > quarter:
         state, active = _mega_stage_more(scene, camera, state, fo, **statics)
@@ -275,7 +267,112 @@ def _render_tile_mega_staged(
     else:
         mean = state.acc / jnp.float32(cfg.rays_per_pixel)
         segs = jnp.sum(state.segments.astype(jnp.float32))
+    return mean, segs
+
+
+def _render_tile_mega_staged(
+    scene, camera, cfg: RenderConfig, x0, y0, tile_h, tile_w, frame_index
+):
+    statics = _mega_statics(cfg, cfg.width, cfg.height)
+    coords = jnp.asarray([x0, y0, frame_index, 0], jnp.int32)
+    fo = jnp.asarray([frame_index, 0], jnp.int32)
+    state, active = _mega_stage_start(
+        scene, camera, coords, tile_h=tile_h, tile_w=tile_w, **statics
+    )
+    mean, segs = _mega_finish_staged(
+        scene, camera, cfg, state, active, fo, tile_h * tile_w
+    )
     return mean.reshape(tile_h, tile_w, 3), segs
+
+
+# --------------------------------------------------------------------------
+# Flat batching: full frames as ceil(W*H / rays_per_batch) lane batches.
+# Square tiles exist for the reference's scheduler semantics and for
+# checkpoint/preview granularity; the megakernel itself only sees flat
+# pixel lists, and bigger batches amortise the gather engine's fixed
+# per-iteration cost (~110M rows/s at 65k lanes -> ~207M at 262k), so
+# the fast path slices the frame row-major into rays_per_batch lanes.
+# Seeds are pure functions of absolute pixel index, so the flat
+# decomposition is bitwise-identical to any tile decomposition.
+# --------------------------------------------------------------------------
+
+
+def _flat_batch_size(cfg: RenderConfig) -> int:
+    """Lanes per flat batch: the configured size, clamped so small
+    frames don't pad to a huge batch (rounded up to 256 lanes)."""
+    total = cfg.width * cfg.height
+    return min(cfg.rays_per_batch, -(-total // 256) * 256)
+
+
+def _flat_coords(coords, batch: int, width: int, height: int):
+    start = coords[0]
+    pix = jnp.arange(batch, dtype=jnp.int32) + start
+    # Pad lanes past the frame end repeat the last pixel (their output
+    # is discarded on the host; they retire with the real lanes).
+    pix = jnp.minimum(pix, jnp.int32(width * height - 1))
+    xs = pix % jnp.int32(width)
+    ys = pix // jnp.int32(width)
+    return xs, ys, pix.astype(jnp.uint32)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "batch", "width", "height", "rays_per_pixel", "max_bounces",
+    "seed_mode", "invisible_budget", "subpixel_jitter",
+), keep_unused=True)
+def _mega_flat_full(scene, camera, coords, *, batch, **statics):
+    from tpurt.render.megakernel import run_megakernel
+
+    width, height = statics["width"], statics["height"]
+    xs, ys, pix = _flat_coords(coords, batch, width, height)
+    uv = pixel_uv(xs, ys, width, height)
+    ro0, rd0 = make_ray(camera, uv)
+    mean, segs, iters = run_megakernel(
+        scene, ro0, rd0, pix, coords[1],
+        sample_offset=coords[2], camera=camera, **statics,
+    )
+    return mean, segs, iters
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "batch", "width", "height", "rays_per_pixel", "max_bounces",
+    "seed_mode", "invisible_budget", "subpixel_jitter",
+), keep_unused=True)
+def _mega_flat_start(scene, camera, coords, *, batch, **statics):
+    from tpurt.render.megakernel import run_megakernel
+
+    width, height = statics["width"], statics["height"]
+    xs, ys, pix = _flat_coords(coords, batch, width, height)
+    uv = pixel_uv(xs, ys, width, height)
+    ro0, rd0 = make_ray(camera, uv)
+    state = run_megakernel(
+        scene, ro0, rd0, pix, coords[1],
+        sample_offset=coords[2], camera=camera,
+        max_iterations=_MEGA_STAGE_ITERS, return_state=True, **statics,
+    )
+    return state, jnp.sum(~state.done)
+
+
+def render_batch_flat(
+    scene: Scene,
+    camera: Camera,
+    cfg: RenderConfig,
+    start: int,
+    frame_index: int = 0,
+    sample_offset: int = 0,
+):
+    """Mean radiance of one flat lane batch: pixels [start, start+B) in
+    row-major order, padded past the frame end. Returns ((B,3) radiance
+    device array, segs, iters-or-None)."""
+    b = _flat_batch_size(cfg)
+    statics = _mega_statics(cfg, cfg.width, cfg.height)
+    coords = jnp.asarray([start, frame_index, sample_offset], jnp.int32)
+    if cfg.compaction_threshold and b >= cfg.compaction_threshold and cfg.max_bounces > 0:
+        fo = jnp.asarray([frame_index, sample_offset], jnp.int32)
+        state, active = _mega_flat_start(scene, camera, coords, batch=b, **statics)
+        mean, segs = _mega_finish_staged(scene, camera, cfg, state, active, fo, b)
+        return mean, segs, None
+    mean, segs, iters = _mega_flat_full(scene, camera, coords, batch=b, **statics)
+    return mean, segs, iters
 
 
 def render_tile(
@@ -354,7 +451,19 @@ def render_frame(
     before propagating (the reference exits fatally on any device
     error, image.hpp:33-36; with an ``accumulator`` a crashed run
     additionally resumes from its finished tiles).
+
+    Fast path: with the mega engine and no accumulator the frame is
+    rendered as flat rays_per_batch lane batches (bitwise-identical to
+    the tile sweep; see render_batch_flat) — tiles only exist for
+    checkpoint/preview granularity.
     """
+    if (
+        accumulator is None
+        and cfg.engine == "mega"
+        and cfg.rays_per_batch > 0
+        and cfg.max_bounces > 0
+    ):
+        return _render_frame_flat(scene, camera, cfg, frame_index, progress, retries)
     ts = cfg.tile_size
     tiles_x, tiles_y = cfg.tiles()
     out = np.zeros((cfg.height, cfg.width, 3), np.float32)
@@ -393,6 +502,35 @@ def render_frame(
             if progress is not None:
                 progress(done, tiles_x * tiles_y)
     return out
+
+
+def _render_frame_flat(
+    scene: Scene, camera: Camera, cfg: RenderConfig, frame_index, progress,
+    retries: int = 1,
+) -> np.ndarray:
+    total = cfg.width * cfg.height
+    b = _flat_batch_size(cfg)
+    n_batches = -(-total // b)
+    out = np.zeros((total, 3), np.float32)
+    for i in range(n_batches):
+        start = i * b
+        attempt = 0
+        while True:
+            try:
+                mean, _segs, _ = render_batch_flat(
+                    scene, camera, cfg, start, frame_index
+                )
+                mean_np = np.asarray(mean)
+                break
+            except Exception:
+                attempt += 1
+                if attempt > retries:
+                    raise
+        n = min(b, total - start)
+        out[start : start + n] = mean_np[:n]
+        if progress is not None:
+            progress(i + 1, n_batches)
+    return out.reshape(cfg.height, cfg.width, 3)
 
 
 def render_image(

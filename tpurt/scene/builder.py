@@ -69,28 +69,46 @@ def _pack_q_words(qlo, qhi):
     )
 
 
-#: Unified megakernel row width (node rows use [0:30], leaf rows [0:38]).
-MEGA_ROW_WIDTH = 40
+#: Unified megakernel row width (node rows use [0:7+3*MEGA_ARITY], leaf
+#: rows [0:19*MEGA_LEAF_TRIS]). The gather engine is row-count-bound and
+#: row-width-FREE up to 160 f32 (notes/tpu_measurements.md), so rows are
+#: sized to the free maximum: wider fanout + fatter leaves = fewer rows
+#: visited per path segment, which is the traversal currency.
+MEGA_ROW_WIDTH = 160
+#: Children per node row.
+MEGA_ARITY = 16
+#: Inline exact triangles per leaf row.
+MEGA_LEAF_TRIS = 8
+#: Bits reserved for the resume-slot in packed stack entries
+#: (must hold MEGA_ARITY + 1 values).
+MEGA_SLOT_BITS = 5
+#: Triangle budget for the inline static stage: identity-transform
+#: meshes whose combined size fits are MT-tested densely in the shade
+#: iteration (VPU work paid once per iteration) instead of traversed.
+MEGA_STATIC_MAX_TRIS = 64
 
 
 def _emit_mega_subtree(rows, nodes, root, tri_pos, tri_nrm, tri_mesh):
-    """Emit a BVH2 subtree as 8-wide megakernel rows in the unified bank.
+    """Emit a BVH2 subtree as MEGA_ARITY-wide megakernel rows.
 
-    The TPU gather engine is row-granular (~175M rows/s regardless of
-    row width), so the traversal currency is ROWS VISITED. An 8-wide
-    node packs eight children's bounds into one row, cutting visited
-    rows ~2.5-3x versus binary nodes at identical image output.
+    The TPU gather engine is row-granular (~110-207M rows/s regardless
+    of row width up to 160 f32), so the traversal currency is ROWS
+    VISITED. A node row packs 16 children's bounds; a leaf row carries
+    up to 8 inline exact triangles (subtrees with <= 8 triangles
+    collapse into one leaf row regardless of the binary leaf cap).
 
-    Node row ([0:30] of MEGA_ROW_WIDTH):
+    Node row:
       [0:3] grid origin (f32), [3:6] grid cell size (f32; child boxes
-      are uint8-quantised on this per-node grid, conservatively), then
-      8 child slots x 3 words:
+      are uint8-quantised on this per-node grid, conservatively),
+      [6] bitcast i32 sort axis, then MEGA_ARITY child slots x 3 words
+      at base 7+3*s:
         w0 = qlo.x | qlo.y<<8 | qlo.z<<16 | qhi.x<<24
         w1 = qhi.y | qhi.z<<8
         w2 = bitcast i32 meta: target_row<<1 | is_leaf; meta 0 AND
              qlo>qhi marks an empty slot (self-missing box).
-    Leaf row ([0:38]): two inline triangles (pa pb pc na nb nc + owner
-    mesh aux), exact f32, as before.
+    Leaf row: MEGA_LEAF_TRIS x 19 floats (pa pb pc na nb nc + owner
+    mesh aux), exact f32; unused slots are zero triangles (MT det==0
+    rejects them).
 
     Returns (root_row, root_is_leaf, depth) — depth is the maximum
     push depth a traversal of this subtree can need.
@@ -98,34 +116,73 @@ def _emit_mega_subtree(rows, nodes, root, tri_pos, tri_nrm, tri_mesh):
     bmin, bmax, child, first, ntris = nodes
     i32f = lambda v: np.array(v, np.int32).view(np.float32)
 
+    counts: Dict[int, int] = {}
+
+    def subtree_count(i) -> int:
+        i = int(i)
+        if i not in counts:
+            if ntris[i] > 0:
+                counts[i] = int(ntris[i])
+            else:
+                counts[i] = subtree_count(child[i]) + subtree_count(
+                    int(child[i]) + 1
+                )
+        return counts[i]
+
+    def subtree_tris(i):
+        """Global triangle ids of a subtree, in BVH traversal order
+        (keeps the reference's index-order tie semantics within a row,
+        Trace.cl:352-357)."""
+        out = []
+        stack = [int(i)]
+        while stack:
+            j = stack.pop()
+            if ntris[j] > 0:
+                out.extend(range(int(first[j]), int(first[j]) + int(ntris[j])))
+            else:
+                stack.append(int(child[j]) + 1)
+                stack.append(int(child[j]))
+        return out
+
     def emit_leaf(i):
-        n = int(ntris[i])
-        assert 1 <= n <= 2, "leaf rows hold 1-2 inline triangles"
+        tris = subtree_tris(i)
+        assert 1 <= len(tris) <= MEGA_LEAF_TRIS, len(tris)
         row = np.zeros(MEGA_ROW_WIDTH, np.float32)
-        for k in range(n):
-            t = int(first[i]) + k
+        for k in range(MEGA_LEAF_TRIS):
             base = 19 * k
-            row[base : base + 9] = np.asarray(tri_pos[t], np.float32).reshape(9)
-            row[base + 9 : base + 18] = np.asarray(tri_nrm[t], np.float32).reshape(9)
-            row[base + 18] = i32f(-1 if tri_mesh is None else int(tri_mesh[t]))
-        if n == 1:
-            # degenerate second slot: zero triangle, MT det==0 rejects it
-            row[19 + 18] = i32f(-1)
+            if k < len(tris):
+                t = tris[k]
+                row[base : base + 9] = np.asarray(
+                    tri_pos[t], np.float32
+                ).reshape(9)
+                row[base + 9 : base + 18] = np.asarray(
+                    tri_nrm[t], np.float32
+                ).reshape(9)
+                row[base + 18] = i32f(
+                    -1 if tri_mesh is None else int(tri_mesh[t])
+                )
+            else:
+                # degenerate slot: zero triangle, MT det==0 rejects it
+                row[base + 18] = i32f(-1)
         my = len(rows)
         rows.append(row)
         return my
 
     def collect_slots(i):
         """Collapse: expand internal BVH2 nodes (largest surface first)
-        until up to 8 slots remain."""
+        until up to MEGA_ARITY slots remain. Subtrees at or below the
+        leaf-row capacity are not expanded — they become leaf rows."""
         slots = [i]
 
         def area(j):
             s = bmax[j] - bmin[j]
             return float(s[0] * (s[1] + s[2]) + s[1] * s[2])
 
-        while len(slots) < 8:
-            internals = [j for j in slots if ntris[j] == 0]
+        while len(slots) < MEGA_ARITY - 1:
+            internals = [
+                j for j in slots
+                if ntris[j] == 0 and subtree_count(j) > MEGA_LEAF_TRIS
+            ]
             if not internals:
                 break
             j = max(internals, key=area)
@@ -135,7 +192,7 @@ def _emit_mega_subtree(rows, nodes, root, tri_pos, tri_nrm, tri_mesh):
         return slots
 
     def emit_node(i):
-        if ntris[i] > 0:
+        if ntris[i] > 0 or subtree_count(i) <= MEGA_LEAF_TRIS:
             return emit_leaf(i), True, 0
         slots = collect_slots(i)
         my = len(rows)
@@ -151,7 +208,7 @@ def _emit_mega_subtree(rows, nodes, root, tri_pos, tri_nrm, tri_mesh):
         # distance bound prunes far siblings earlier.
         axis = int(np.argmax(hi - lo))
         slots.sort(key=lambda j: float(bmin[j][axis] + bmax[j][axis]))
-        row[30] = np.array(axis, np.int32).view(np.float32)
+        row[6] = np.array(axis, np.int32).view(np.float32)
         scale = (hi - lo) / 255.0
         origin32 = lo.astype(np.float32)
         scale32 = np.where(scale > 0, scale, 0.0).astype(np.float32)
@@ -180,12 +237,12 @@ def _emit_mega_subtree(rows, nodes, root, tri_pos, tri_nrm, tri_mesh):
             qh = qh.astype(np.uint32)
             w0 = ql[0] | (ql[1] << 8) | (ql[2] << 16) | (qh[0] << 24)
             w1 = qh[1] | (qh[2] << 8)
-            base = 6 + 3 * s_idx
+            base = 7 + 3 * s_idx
             row[base] = np.array(w0, np.uint32).view(np.float32)
             row[base + 1] = np.array(w1, np.uint32).view(np.float32)
             row[base + 2] = i32f((target << 1) | (1 if is_leaf else 0))
-        for s_idx in range(len(slots), 8):
-            base = 6 + 3 * s_idx
+        for s_idx in range(len(slots), MEGA_ARITY):
+            base = 7 + 3 * s_idx
             # empty slot: qlo=255 > qhi=0 never hits; meta 0
             row[base] = np.array(
                 np.uint32(255 | (255 << 8) | (255 << 16)), np.uint32
@@ -514,14 +571,70 @@ class SceneBuilder:
         mega_depth = 0
         nodes_tuple = (bmin_arr, bmax_arr, child, first, ntris)
 
+        def _is_identity(m):
+            return (
+                tuple(np.asarray(m.pos, np.float64).tolist()) == (0.0, 0.0, 0.0)
+                and float(m.pitch) == 0.0 and float(m.yaw) == 0.0
+                and float(m.roll) == 0.0 and float(m.scale) == 1.0
+            )
+
+        # Inline static stage: small identity-transform meshes are tested
+        # densely inside the megakernel's shade iteration (zero gathered
+        # rows, zero chain entries) instead of being traversed. OneSided
+        # meshes are eligible only as single quads (<= 2 coplanar tris):
+        # the reference rejects a OneSided mesh's contribution when ITS
+        # closest hit is a backface (Trace.cl:466-471) — for a planar
+        # quad every candidate has the same facing, so rejecting
+        # backface candidates directly is equivalent; for thicker
+        # OneSided meshes a closer backface must shadow farther
+        # frontfaces, which needs the per-mesh query the chain provides.
+        inline_eligible = [
+            i
+            for i, m in enumerate(self.meshes)
+            if m.num_tris > 0 and _is_identity(m)
+            and (
+                int(m.material.type) != int(MaterialType.ONE_SIDED)
+                or m.num_tris <= 2
+            )
+        ]
+        total_inline = sum(self.meshes[i].num_tris for i in inline_eligible)
+        if total_inline > MEGA_STATIC_MAX_TRIS:
+            inline_eligible = []  # dense per-iteration cost would exceed
+            #                       a traversal; fall back to the BVH path
+
+        static_rows_list: List[np.ndarray] = []
+        static_cull: List[bool] = []
+        static_onesided: List[bool] = []
+        i32f = lambda v: np.array(v, np.int32).view(np.float32)
+        for i in inline_eligible:
+            m = self.meshes[i]
+            mt = int(m.material.type)
+            for t in range(m.first_tri, m.first_tri + m.num_tris):
+                row = np.zeros(19, np.float32)
+                row[0:9] = tri_pos[t].reshape(9)
+                row[9:18] = tri_nrm[t].reshape(9)
+                row[18] = i32f(i)
+                static_rows_list.append(row)
+                static_cull.append(
+                    mt not in (
+                        int(MaterialType.GLASSY),
+                        int(MaterialType.INVISIBLE),
+                        int(MaterialType.ONE_SIDED),
+                    )
+                )
+                static_onesided.append(mt == int(MaterialType.ONE_SIDED))
+        mega_static_rows = (
+            np.stack(static_rows_list)
+            if static_rows_list
+            else np.zeros((0, 19), np.float32)
+        )
+
         static_members = [
             i
             for i, m in enumerate(self.meshes)
-            if self.meshes[i].num_tris > 0
-            and tuple(np.asarray(m.pos, np.float64).tolist()) == (0.0, 0.0, 0.0)
-            and float(m.pitch) == 0.0 and float(m.yaw) == 0.0
-            and float(m.roll) == 0.0 and float(m.scale) == 1.0
+            if m.num_tris > 0 and _is_identity(m)
             and int(m.material.type) != int(MaterialType.ONE_SIDED)
+            and i not in inline_eligible
         ]
         if static_members:
             s_pos = np.concatenate(
@@ -548,7 +661,7 @@ class SceneBuilder:
 
         emitted_roots: Dict[int, Tuple[int, bool]] = {}
         for i, m in enumerate(self.meshes):
-            if i in static_members or m.num_tris == 0:
+            if i in static_members or i in inline_eligible or m.num_tris == 0:
                 continue
             if m.node_idx in emitted_roots:
                 root_row, root_leaf = emitted_roots[m.node_idx]
@@ -614,9 +727,12 @@ class SceneBuilder:
             mat_specular_prob=jnp.asarray(
                 [m.specular_probability for m in mats], jnp.float32
             ),
+            mega_static_rows=jnp.asarray(mega_static_rows),
             max_leaf_tris=max(max_leaf, 1),
             mega_chain=tuple(chain),
             mega_stack_depth=int(mega_depth) + 2,
+            mega_static_cull=tuple(static_cull),
+            mega_static_onesided=tuple(static_onesided),
             mesh_tri_ranges=tuple((m.first_tri, m.num_tris) for m in self.meshes),
             mesh_mat_types=tuple(int(m.material.type) for m in self.meshes),
             mesh_identity=tuple(

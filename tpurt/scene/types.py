@@ -95,7 +95,16 @@ class Scene:
     # The traversal CHAIN (static meta) lists the BVHs every ray visits
     # in order: one combined world-space BVH over all identity-transform
     # non-OneSided meshes, then each remaining instance.
-    mega_rows: jnp.ndarray  # (Mm, 40) f32
+    mega_rows: jnp.ndarray  # (Mm, builder.MEGA_ROW_WIDTH) f32
+
+    #: Inline static stage: small identity-transform meshes (the
+    #: Cornell quads) packed as (S, 19) exact triangle rows
+    #: (pa pb pc na nb nc + bitcast-i32 owner mesh). The megakernel MT-
+    #: tests these densely during its shade iteration — zero gathered
+    #: rows, no chain entry — so wall-bound path segments never touch
+    #: the traversal machinery. Per-tri cull/one-sided policy is static
+    #: metadata (mega_static_cull / mega_static_onesided).
+    mega_static_rows: jnp.ndarray  # (S, 19) f32
 
     # Mesh instances (K).
     mesh_root: jnp.ndarray  # (K,) i32 BVH root node per mesh
@@ -136,6 +145,14 @@ class Scene:
     #: semantics: the reference rejects a OneSided mesh's contribution
     #: only after that mesh's own query, Trace.cl:466-471).
     mesh_mat_types: Tuple[int, ...] = struct.field(pytree_node=False, default=())
+    #: Backface-cull / one-sided policy per inline static triangle
+    #: (static: known from the owner material at freeze).
+    mega_static_cull: Tuple[bool, ...] = struct.field(
+        pytree_node=False, default=()
+    )
+    mega_static_onesided: Tuple[bool, ...] = struct.field(
+        pytree_node=False, default=()
+    )
     #: True where the instance transform was identity at freeze time
     #: (pos=0, angles=0, scale=1 — e.g. the Cornell quads, which addQuad
     #: leaves untransformed, readobj.hpp:393). The intersector fuses all
