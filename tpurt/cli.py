@@ -68,11 +68,20 @@ def build_parser() -> argparse.ArgumentParser:
                    help="progressive refinement: average PASSES whole-frame "
                         "passes, writing preview.bmp periodically")
     p.add_argument("--preview-every", type=int, default=10)
+    p.add_argument("--devices", default=None, metavar="IDS",
+                   help="comma-separated device ids to render on (the "
+                        "reference's interactive device pick, "
+                        "main.cpp:159-193); default: all")
     p.add_argument("--tile-devices", type=int, default=None,
                    help="devices on the image-tile mesh axis (default: all)")
     p.add_argument("--sample-devices", type=int, default=1,
                    help="devices on the samples-per-pixel mesh axis "
                         "(needs --seed-mode decorrelated)")
+    p.add_argument("--coordinator", default=None, metavar="HOST:PORT",
+                   help="multi-host: jax.distributed coordinator address "
+                        "(DCN); requires --num-processes and --process-id")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     p.add_argument("--single-chip", action="store_true",
                    help="host tile loop on one device (no shard_map)")
     p.add_argument("--interactive", action="store_true",
@@ -90,7 +99,25 @@ def main(argv=None) -> int:
 
         jax.config.update("jax_platforms", "cpu")
 
-    from tpurt.parallel.mesh import device_inventory
+    # Multi-host (DCN) initialisation must precede any backend use: the
+    # mesh then spans every process and collectives ride ICI within a
+    # slice / DCN across (SURVEY.md §2.3). Single-process remains the
+    # default; this is the jax.distributed analog of the reference's
+    # single-host multi-GPU setup (image.hpp:280-350).
+    if args.coordinator is not None:
+        if args.num_processes is None or args.process_id is None:
+            print("--coordinator requires --num-processes and --process-id",
+                  file=sys.stderr)
+            return 2
+        import jax
+
+        jax.distributed.initialize(
+            coordinator_address=args.coordinator,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
+
+    from tpurt.parallel.mesh import device_inventory, select_devices
 
     inventory = device_inventory()
     print(f"Found {len(inventory)} device(s):")
@@ -101,6 +128,12 @@ def main(argv=None) -> int:
         return 0
 
     if args.interactive:
+        # The reference prompts for a comma-separated device list first
+        # (main.cpp:159-193).
+        args.devices = _prompt("Devices (comma-separated ids)",
+                               args.devices or "all", str)
+        if args.devices == "all":
+            args.devices = None
         args.width = _prompt("Width", args.width, int)
         args.height = _prompt("Height", args.height, int)
         args.rays_per_pixel = _prompt("Rays per pixel", args.rays_per_pixel, int)
@@ -153,7 +186,7 @@ def main(argv=None) -> int:
             progress=prog,
         )
         prog.finish()
-    elif args.single_chip or len(inventory) == 1:
+    elif args.single_chip or (len(inventory) == 1 and not args.devices):
         tiles_x, tiles_y = cfg.tiles()
         prog = ProgressReporter(tiles_x * tiles_y, live=live)
         acc = (
@@ -164,7 +197,13 @@ def main(argv=None) -> int:
     else:
         from tpurt.parallel import make_mesh, mesh_info, render_frame_sharded
 
-        mesh = make_mesh(args.tile_devices, args.sample_devices)
+        try:
+            devices = select_devices(args.devices)
+        except ValueError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
+        mesh = make_mesh(args.tile_devices, args.sample_devices,
+                         devices=devices)
         print(mesh_info(mesh))
         radiance = render_frame_sharded(scene, camera, cfg, mesh=mesh)
 

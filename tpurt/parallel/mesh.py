@@ -54,6 +54,39 @@ def device_inventory() -> List[dict]:
     return out
 
 
+def select_devices(spec: Optional[str]):
+    """Resolve a comma-separated device-id list (the reference's
+    interactive pick, main.cpp:159-193) to device objects. ``None`` /
+    "all" selects every visible device; bad ids raise ValueError with
+    the valid set listed."""
+    devices = jax.devices()
+    if spec is None or str(spec).strip().lower() in ("", "all"):
+        return devices
+    by_id = {d.id: d for d in devices}
+    picked = []
+    for part in str(spec).split(","):
+        part = part.strip()
+        if not part:
+            continue
+        try:
+            did = int(part)
+        except ValueError:
+            raise ValueError(
+                f"device id {part!r} is not an integer; valid ids: "
+                f"{sorted(by_id)}"
+            )
+        if did not in by_id:
+            raise ValueError(
+                f"no device with id {did}; valid ids: {sorted(by_id)}"
+            )
+        if by_id[did] in picked:
+            raise ValueError(f"device id {did} given twice")
+        picked.append(by_id[did])
+    if not picked:
+        raise ValueError("empty device list")
+    return picked
+
+
 def make_mesh(
     tile_devices: Optional[int] = None,
     sample_devices: int = 1,

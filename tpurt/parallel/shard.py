@@ -35,7 +35,10 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+try:  # jax >= 0.4.35 promotes shard_map out of experimental
+    from jax import shard_map
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
 
 from tpurt.config import RenderConfig
 from tpurt.core.camera import Camera
@@ -88,12 +91,24 @@ def _render_sharded_impl(
             block = lax.psum(block, SAMPLE_AXIS) / jnp.float32(n_sample)
         return block
 
+    # Replication checking is off: the megakernel's while_loop carry
+    # starts from replicated constants that become device-varying inside
+    # the loop, which the checker (check_rep on older jax, check_vma on
+    # jax >= 0.8) would demand explicit pcasts for.
+    import inspect
+
+    params = inspect.signature(shard_map).parameters
+    kwargs = {}
+    if "check_vma" in params:
+        kwargs["check_vma"] = False
+    elif "check_rep" in params:
+        kwargs["check_rep"] = False
     return shard_map(
         worker,
         mesh=mesh,
         in_specs=(P(), P(), P()),  # scene, camera, frame replicated
         out_specs=P(TILE_AXIS, None, None),
-        check_rep=False,
+        **kwargs,
     )(scene, camera, jnp.int32(frame_index))
 
 

@@ -34,6 +34,14 @@ from tpurt.render.intersect import intersect_scene
 from tpurt.render.tonemap import tonemap
 from tpurt.scene.types import Scene
 
+#: Errors worth retrying a tile/batch for: device- or transport-level
+#: failures (a lost chip, a dropped tunnel connection). Deterministic
+#: bugs (shape/type/tracing errors) propagate immediately instead of
+#: being re-executed ``retries`` times (the reference exits fatally on
+#: ANY device error, image.hpp:33-36; we retry only what idempotent
+#: re-execution can actually fix).
+_TRANSIENT_ERRORS = (jax.errors.JaxRuntimeError, OSError)
+
 
 def _tile_pixel_coords(tile_h: int, tile_w: int, x0, y0):
     """Absolute pixel coords of a tile, flattened row-major."""
@@ -522,7 +530,7 @@ def _render_frame_flat(
                 )
                 mean_np = np.asarray(mean)
                 break
-            except Exception:
+            except _TRANSIENT_ERRORS:
                 attempt += 1
                 if attempt > retries:
                     raise
