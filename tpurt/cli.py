@@ -86,6 +86,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="host tile loop on one device (no shard_map)")
     p.add_argument("--interactive", action="store_true",
                    help="prompt for settings like the reference driver")
+    p.add_argument("--view", action="store_true",
+                   help="interactive progressive viewer: steer the "
+                        "camera (wasd/qe + ijkl), adjust spp/bounces, "
+                        "pick-to-tint; writes preview.bmp per pass")
     p.add_argument("--list-devices", action="store_true")
     p.add_argument("--cpu", action="store_true", help="force the CPU backend")
     return p
@@ -169,6 +173,12 @@ def main(argv=None) -> int:
 
     live = sys.stderr.isatty()
     t0 = time.perf_counter()
+
+    if args.view:
+        from tpurt.viewer import run_terminal
+
+        run_terminal(scene, cfg, preview_path="preview.bmp")
+        return 0
 
     if args.frames > 1:
         prog = ProgressReporter(args.frames, label="frames", live=live)
