@@ -8,6 +8,12 @@ exactly by the integrator). vs_baseline is measured against the
 driver-set north star of 500 Mrays/s/chip (BASELINE.json; the reference
 itself publishes no numbers, BASELINE.md).
 
+The mega engine renders through the flat-batch fast path (the same path
+render_frame uses); stderr carries the currency breakdown VERDICT.md
+asks for — loop iterations, us/iteration, and iterations per path
+segment (rows gathered per segment). Every result is also appended to
+BENCH_history.jsonl so cross-round regressions are mechanical to spot.
+
 Secondary ladder results go to stderr. Usage:
     python bench.py                 # headline only (fast-ish)
     python bench.py --ladder        # all configs
@@ -18,16 +24,27 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
 BASELINE_MRAYS = 500.0
+_HISTORY = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH_history.jsonl")
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
+
+
+def record_history(entry: dict):
+    try:
+        with open(_HISTORY, "a") as f:
+            f.write(json.dumps(entry) + "\n")
+    except OSError as e:  # never let bookkeeping kill the bench
+        log(f"history append failed: {e}")
 
 
 def build_scene(kind: str, cfg):
@@ -62,21 +79,49 @@ def build_scene(kind: str, cfg):
     return scene, cam
 
 
-def time_render(scene, cam, cfg, repeats=2):
-    """Returns (seconds, total_segments, radiance) for one full frame,
-    compile excluded (one warmup tile), best of `repeats`.
+def time_render_flat(scene, cam, cfg, repeats=2):
+    """One full frame via the flat-batch megakernel path (the render_frame
+    default), compile excluded, best of `repeats`. Returns
+    (seconds, segments, iters-or-0).
 
-    Every tile's outputs are materialised to host INSIDE the timed
+    Every batch's radiance is materialised to host INSIDE the timed
     region: on the axon backend block_until_ready can return before the
     work drains, so only actual D2H copies are trustworthy (and a real
     render needs the pixels on the host anyway)."""
-    import numpy as np
+    from tpurt.render.renderer import _flat_batch_size, render_batch_flat
+
+    total = cfg.width * cfg.height
+    b = _flat_batch_size(cfg)
+    n_batches = -(-total // b)
+
+    # Warmup / compile (both stage shapes).
+    m, s, it = render_batch_flat(scene, cam, cfg, 0)
+    _ = float(s) + float(np.asarray(m).sum())
+
+    best = None
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        segs = 0.0
+        iters = 0
+        for i in range(n_batches):
+            m, s, it = render_batch_flat(scene, cam, cfg, i * b)
+            segs += float(s)
+            if it is not None:
+                iters += int(it)
+            np.asarray(m)
+        dt = time.perf_counter() - t0
+        if best is None or dt < best[0]:
+            best = (dt, segs, iters)
+    return best
+
+
+def time_render_tiles(scene, cam, cfg, repeats=2):
+    """Tile-loop render (modular engine / accumulator-style path)."""
     from tpurt.render.renderer import render_tile_with_stats
 
     ts = cfg.tile_size
     tiles_x, tiles_y = cfg.tiles()
 
-    # Warmup / compile.
     r, s = render_tile_with_stats(scene, cam, cfg, 0, 0, ts, ts)
     _ = float(s) + float(np.asarray(r).sum())
 
@@ -84,37 +129,47 @@ def time_render(scene, cam, cfg, repeats=2):
     for _ in range(repeats):
         t0 = time.perf_counter()
         total_seg = 0.0
-        first = None
         for ty in range(tiles_y):
             for tx in range(tiles_x):
                 r, s = render_tile_with_stats(
                     scene, cam, cfg, tx * ts, ty * ts, ts, ts
                 )
                 total_seg += float(s)
-                r_host = np.asarray(r)
-                if first is None:
-                    first = r_host
+                np.asarray(r)
         dt = time.perf_counter() - t0
         if best is None or dt < best[0]:
-            best = (dt, total_seg, first)
+            best = (dt, total_seg, 0)
     return best
 
 
 def run_config(name, scene_kind, cfg, repeats=2):
-    from tpurt.config import RenderConfig
-
     scene, cam = build_scene(scene_kind, cfg)
     log(f"[{name}] scene={scene_kind} tris={scene.num_triangles} "
         f"{cfg.width}x{cfg.height} spp={cfg.rays_per_pixel} "
-        f"bounces={cfg.max_bounces} tile={cfg.tile_size} "
-        f"bf_threshold={cfg.bruteforce_threshold}")
-    dt, segments, _ = time_render(scene, cam, cfg, repeats)
+        f"bounces={cfg.max_bounces} engine={cfg.engine} "
+        f"dense={cfg.dense_engine} bf_threshold={cfg.bruteforce_threshold}")
+    if cfg.engine == "mega" and cfg.rays_per_batch > 0 and cfg.max_bounces > 0:
+        dt, segments, iters = time_render_flat(scene, cam, cfg, repeats)
+    else:
+        dt, segments, iters = time_render_tiles(scene, cam, cfg, repeats)
     mrays = segments / dt / 1e6
     prim = cfg.width * cfg.height * cfg.rays_per_pixel
+    breakdown = ""
+    result = {"name": name, "seconds": dt, "mrays": mrays,
+              "avg_path": segments / prim}
+    if iters:
+        # Uncompacted main-stage iterations only (the compacted tail
+        # reports None); still the right currency for rows/segment.
+        us_per_iter = dt / iters * 1e6
+        result["iters"] = iters
+        result["us_per_iter"] = us_per_iter
+        result["iters_per_seg"] = iters * min(
+            cfg.rays_per_batch, cfg.width * cfg.height) / segments
+        breakdown = (f" | {iters} iters, {us_per_iter:.0f} us/iter, "
+                     f"{result['iters_per_seg']:.2f} iters(rows)/seg")
     log(f"[{name}] {dt:.3f}s  {segments/1e6:.1f}M segments "
-        f"(avg path {segments/prim:.2f})  => {mrays:.1f} Mrays/s")
-    return {"name": name, "seconds": dt, "mrays": mrays,
-            "avg_path": segments / prim}
+        f"(avg path {segments/prim:.2f})  => {mrays:.1f} Mrays/s{breakdown}")
+    return result
 
 
 def main():
@@ -146,13 +201,14 @@ def main():
             "parity-512", "sphere",
             RenderConfig(width=512, height=512, rays_per_pixel=4,
                          max_bounces=8, **common)))
-        # Config 2: low-poly brute force, 720p (the modular engine's
-        # dense-sweep path, per the BASELINE config definition).
+        # Config 2: low-poly brute force, 720p — the speed-of-light dense
+        # path (BASELINE config 2), so it runs the MXU Pluecker engine;
+        # the bit-exact "exact" sweep is the tested parity anchor.
         results.append(run_config(
             "teapot-720p-bruteforce", "teapot",
             RenderConfig(width=1280, height=720, rays_per_pixel=args.spp,
                          max_bounces=4, bruteforce_threshold=1 << 30,
-                         engine="modular", **common)))
+                         engine="modular", dense_engine="plucker", **common)))
         # Config 4: Cornell 256 spp accumulation at lower res.
         results.append(run_config(
             "cornell-256spp", "sphere",
@@ -166,8 +222,11 @@ def main():
                      max_bounces=4, **common))
     results.append(headline)
 
+    ts = time.time()
+    platform = jax.devices()[0].platform
     for r in results:
         log(json.dumps(r))
+        record_history({"ts": ts, "platform": platform, **r})
 
     print(json.dumps({
         "metric": "Mrays/sec/chip bunny-class 1080p BVH path trace",

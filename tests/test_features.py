@@ -139,7 +139,7 @@ def test_cli_interactive_prompts(tmp_path):
     r = subprocess.run(
         [sys.executable, "-m", "tpurt.cli", "--cpu", "--interactive",
          "--object-path", "sphere0.obj", "--output", out],
-        input="8\n8\n1\n2\n\n",  # width, height, spp, bounces, keep obj
+        input="0\n8\n8\n1\n2\n\n",  # devices, width, height, spp, bounces, keep obj
         capture_output=True, text=True, timeout=300, env=env,
     )
     assert r.returncode == 0, r.stderr[-2000:]

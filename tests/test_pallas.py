@@ -1,7 +1,8 @@
-"""Pallas dense-sweep kernel vs the XLA sweep (interpret mode on CPU;
-the Mosaic TPU path is gated behind RenderConfig.use_pallas because the
-remote-compile service in this environment cannot build Mosaic kernels
-— see render/pallas_kernels.py)."""
+"""Pallas dense-sweep kernel vs the XLA sweep (interpret mode on CPU).
+The compiled Mosaic path is selected with
+RenderConfig(dense_engine="pallas") and only engages on TPU backends;
+everywhere else it degrades to the bit-exact "exact" sweep
+(intersect._pallas_available)."""
 
 import numpy as np
 import jax.numpy as jnp

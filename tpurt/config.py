@@ -104,7 +104,12 @@ class RenderConfig:
     #: a (R,16)x(16,4T) GEMM on the MXU (render/plucker.py) — measured
     #: ~13x faster end-to-end, within ~1 ulp of exact but NOT bitwise
     #: (different summation order; geometric rather than smooth-normal
-    #: backface culling during the sweep).
+    #: backface culling during the sweep). ``"pallas"`` runs the sweep
+    #: as a Mosaic kernel (render/pallas_kernels.py): triangle rows
+    #: resident in VMEM, one fused kernel per ray block — same
+    #: acceptance rules as "exact" up to 1-ulp normalisation edges.
+    #: Requires a TPU backend; on other backends it falls back to
+    #: "exact" (interpret mode is test-only).
     dense_engine: str = "exact"
 
     def __post_init__(self) -> None:
@@ -112,7 +117,7 @@ class RenderConfig:
             raise ValueError(f"unknown seed_mode: {self.seed_mode!r}")
         if self.engine not in ("mega", "modular"):
             raise ValueError(f"unknown engine: {self.engine!r}")
-        if self.dense_engine not in ("exact", "plucker"):
+        if self.dense_engine not in ("exact", "plucker", "pallas"):
             raise ValueError(f"unknown dense_engine: {self.dense_engine!r}")
         if self.width <= 0 or self.height <= 0:
             raise ValueError("image dimensions must be positive")

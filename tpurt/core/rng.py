@@ -121,6 +121,27 @@ def random_direction(state: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return state, jnp.where(bad, fallback, v)
 
 
+def random_direction_soa(state: jnp.ndarray):
+    """random_direction in SoA form -> (new_state, (x, y, z) components).
+
+    Identical draws and arithmetic to random_direction (the stacked
+    form), just without materialising the (..., 3) layout — see
+    tpurt.core.v3 for why the hot path carries components."""
+    from jax import lax
+
+    state, x = random_normal(state)
+    state, y = random_normal(state)
+    state, z = random_normal(state)
+    inv = lax.rsqrt(x * x + y * y + z * z)
+    vx, vy, vz = x * inv, y * inv, z * inv
+    bad = ~(jnp.isfinite(vx) & jnp.isfinite(vy) & jnp.isfinite(vz))
+    # NaN fallback (0, 1, 0), Trace.cl:195-199.
+    vx = jnp.where(bad, np.float32(0.0), vx)
+    vy = jnp.where(bad, np.float32(1.0), vy)
+    vz = jnp.where(bad, np.float32(0.0), vz)
+    return state, (vx, vy, vz)
+
+
 def random_hemisphere_direction(
     normal: jnp.ndarray, state: jnp.ndarray
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -175,4 +196,9 @@ def rand01_masked(state, mask):
 
 def random_direction_masked(state, mask):
     new_state, d = random_direction(state)
+    return jnp.where(mask, new_state, state), d
+
+
+def random_direction_masked_soa(state, mask):
+    new_state, d = random_direction_soa(state)
     return jnp.where(mask, new_state, state), d

@@ -190,6 +190,51 @@ def _mt_sweep(
 # ---------------------------------------------------------------------------
 
 
+def _pallas_available() -> bool:
+    """True when the Mosaic dense sweep can compile for the default
+    backend. dense_engine="pallas" silently degrades to "exact"
+    elsewhere (interpret mode is test-only — tests/test_pallas.py)."""
+    try:
+        import jax
+
+        from tpurt.render.pallas_kernels import _HAS_PLTPU
+
+        return _HAS_PLTPU and jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:  # pragma: no cover - backend probing must never raise
+        return False
+
+
+def _pallas_sweep_ids(
+    scene: Scene, ro, rd, ids: jnp.ndarray, cull_flags: jnp.ndarray,
+    best: _LocalBest, interpret: bool = False,
+) -> _LocalBest:
+    """Dense Mosaic sweep over global triangle ids; folds into best with
+    the same strict-< first-minimum semantics as _mt_sweep."""
+    from tpurt.render.pallas_kernels import _TRI_CHUNK, mt_sweep_pallas
+
+    count = ids.shape[0]
+    rows = jnp.concatenate(
+        [
+            scene.tri_pos_a[ids], scene.tri_pos_b[ids], scene.tri_pos_c[ids],
+            scene.tri_nrm_a[ids], scene.tri_nrm_b[ids], scene.tri_nrm_c[ids],
+        ],
+        axis=1,
+    )  # (count, 18)
+    pad = max(-(-count // _TRI_CHUNK) * _TRI_CHUNK, _TRI_CHUNK) - count
+    rows = jnp.pad(rows, ((0, pad), (0, 0)))
+    flags = jnp.pad(
+        jnp.broadcast_to(cull_flags, (count,)).astype(_F32)[:, None],
+        ((0, pad), (0, 0)),
+    )
+    t, j = mt_sweep_pallas(ro, rd, rows, flags, count, interpret=interpret)
+    tri = jnp.where(j >= 0, ids[jnp.maximum(j, 0)].astype(jnp.int32), -1)
+    closer = (j >= 0) & (t < best.t)
+    return _LocalBest(
+        t=jnp.where(closer, t, best.t),
+        tri=jnp.where(closer, tri, best.tri),
+    )
+
+
 def _bruteforce_range(
     scene: Scene, ro, rd, first: int, count: int, cull, chunk: int = 2048,
     dense_engine: str = "exact",
@@ -198,6 +243,11 @@ def _bruteforce_range(
         t=jnp.full(ro.shape[:-1], _INF, _F32),
         tri=jnp.full(ro.shape[:-1], -1, jnp.int32),
     )
+    if dense_engine == "pallas" and _pallas_available():
+        ids = jnp.arange(first, first + count)
+        return _pallas_sweep_ids(
+            scene, ro, rd, ids, jnp.broadcast_to(cull, (count,)), best
+        )
     if dense_engine == "plucker":
         from tpurt.render.plucker import build_plucker_table, plucker_sweep
 
@@ -228,6 +278,10 @@ def _bruteforce_indices(
         t=jnp.full(ro.shape[:-1], _INF, _F32),
         tri=jnp.full(ro.shape[:-1], -1, jnp.int32),
     )
+    if dense_engine == "pallas" and _pallas_available():
+        return _pallas_sweep_ids(
+            scene, ro, rd, jnp.asarray(tri_idx), cull_flags, best
+        )
     if dense_engine == "plucker":
         from tpurt.render.plucker import build_plucker_table, plucker_sweep
 

@@ -26,6 +26,13 @@ PER LANE), which drives the design:
     root bounds against the static-stage distance bound first; lanes
     whose segment resolves in front of the mesh skip its subtree
     entirely (most diffuse bounces in a Cornell scene).
+  * SoA STATE. Every vector lives as per-component (R,) arrays
+    (tpurt.core.v3.V3) and the traversal stack as per-slot (R,)
+    registers: (R, 3)/(R, S) layouts put the small axis on the 128-
+    lane dimension, wasting 125/128 VPU lanes — the same body measured
+    16.5 ms/iteration AoS vs ~1.7 ms SoA at 65k lanes. The one (R, W)
+    array per iteration (the gathered row) is transposed to (W, R)
+    immediately so every column slice is a contiguous (R,) vector.
 
 Chain/shade structure and parity are as before: OneSided meshes keep
 per-mesh rejection (Trace.cl:466-471; single-quad OneSided meshes may
@@ -52,19 +59,23 @@ from jax import lax
 
 from tpurt.config import EPSILON
 from tpurt.core import rng as rnglib
-from tpurt.core.vecmath import cross3, dot3, euler_rotation, length3, normalize3
-from tpurt.render.shading import shade_hit
+from tpurt.core import v3 as v3lib
+from tpurt.core.v3 import V3
+from tpurt.core.vecmath import euler_rotation
+from tpurt.render.shading import shade_hit_soa
 from tpurt.scene.builder import MEGA_ARITY, MEGA_LEAF_TRIS, MEGA_SLOT_BITS
 from tpurt.scene.types import MaterialType, Scene
 
 _F32 = jnp.float32
 _INF = np.float32(np.inf)
+_NINF = np.float32(-np.inf)
 # Host constant on purpose: a module-level jnp array referenced inside
 # traced code caches a stale tracer across traces on this JAX version,
 # corrupting later executables' hidden-constant lists ("Execution
 # supplied N buffers but compiled program expected N+k").
 _EMPTY = np.uint32(0xFFFFFFFF)
 _SLOT_MASK = np.uint32((1 << MEGA_SLOT_BITS) - 1)
+_EPS = np.float32(EPSILON)
 
 
 class _Lane(NamedTuple):
@@ -72,20 +83,20 @@ class _Lane(NamedTuple):
     iters: jnp.ndarray  # () i32 — loop iterations executed (sync cost)
     # per-lane task constants (ride in the state so lanes can be
     # COMPACTED: a shrunken batch must carry its own primary rays/seeds)
-    ro0: jnp.ndarray  # (R, 3) primary origin
-    rd0: jnp.ndarray  # (R, 3) primary direction
+    ro0: V3  # primary origin
+    rd0: V3  # primary direction
     pix: jnp.ndarray  # (R,) u32 pixel index
     # sample machinery
     sample: jnp.ndarray  # (R,) i32
-    acc: jnp.ndarray  # (R, 3)
+    acc: V3
     rng: jnp.ndarray  # (R,) u32
     done: jnp.ndarray  # (R,) bool
     segments: jnp.ndarray  # (R,) i32
     # path state
-    origin: jnp.ndarray
-    direction: jnp.ndarray
-    throughput: jnp.ndarray
-    light: jnp.ndarray
+    origin: V3
+    direction: V3
+    throughput: V3
+    light: V3
     bounces: jnp.ndarray  # (R,) i32
     invis: jnp.ndarray  # (R,) i32
     # chain + traversal
@@ -93,44 +104,45 @@ class _Lane(NamedTuple):
     cur: jnp.ndarray  # (R,) i32 row; -1 = entry exhausted
     cur_leaf: jnp.ndarray  # (R,) bool — cur is a leaf row
     cur_slot: jnp.ndarray  # (R,) i32 — first child slot to consider
-    stack: jnp.ndarray  # (R, S) u32 — (row << SLOT_BITS | next_slot)
-    lo: jnp.ndarray  # (R, 3) local ray
-    ld: jnp.ndarray
-    lid: jnp.ndarray  # 1/ld
+    stack: Tuple[jnp.ndarray, ...]  # S x (R,) u32 — (row << SLOT_BITS | slot)
+    lo: V3  # local ray
+    ld: V3
+    lid: V3  # 1/ld
     lt: jnp.ndarray  # (R,) local best distance
-    lnrm: jnp.ndarray  # (R, 3) local best normal (ray-flipped)
+    lnrm: V3  # local best normal (ray-flipped)
     lback: jnp.ndarray  # (R,) bool
     lmesh: jnp.ndarray  # (R,) i32 winner's mesh (-1 = none)
     # world-space best across the chain
     w_valid: jnp.ndarray
     w_dst: jnp.ndarray
-    w_point: jnp.ndarray
-    w_normal: jnp.ndarray
+    w_point: V3
+    w_normal: V3
     w_back: jnp.ndarray
     w_mesh: jnp.ndarray
     # primary-hit cache (bounce-0 intersection, shared by all samples)
     c_set: jnp.ndarray
     c_valid: jnp.ndarray
-    c_point: jnp.ndarray
-    c_normal: jnp.ndarray
+    c_point: V3
+    c_normal: V3
     c_back: jnp.ndarray
     c_mesh: jnp.ndarray
     c_dst: jnp.ndarray
 
 
 class _ChainParams(NamedTuple):
-    """Per-entry transform/material constants."""
+    """Per-entry transform/material constants, component-sliced so every
+    per-lane select is an (R,) op."""
 
     root: Tuple[int, ...]  # static row indices
     root_leaf: Tuple[bool, ...]
     mesh: Tuple[int, ...]  # static mesh ids (-1 = fused static entry)
-    pos: jnp.ndarray  # (E, 3)
-    rot: jnp.ndarray  # (E, 3, 3)
+    pos: Tuple[jnp.ndarray, ...]  # 3 x (E,)
+    rot: Tuple[Tuple[jnp.ndarray, ...], ...]  # 3 x 3 x (E,) — rot[i][j]
     scale: jnp.ndarray  # (E,)
     one_sided: jnp.ndarray  # (E,) bool
     cull: jnp.ndarray  # (E,) bool backface-cull policy (mesh entries)
-    rmin: jnp.ndarray  # (E, 3) local root bounds (pretest; -inf if n/a)
-    rmax: jnp.ndarray  # (E, 3)
+    rmin: Tuple[jnp.ndarray, ...]  # 3 x (E,) local root bounds (pretest)
+    rmax: Tuple[jnp.ndarray, ...]
 
 
 def _chain_params(scene: Scene) -> _ChainParams:
@@ -168,116 +180,143 @@ def _chain_params(scene: Scene) -> _ChainParams:
             rmax_l.append(
                 scene.mesh_qmin[i] + np.float32(65535.0) * scene.mesh_qscale[i]
             )
+    pos = jnp.stack(pos_l)  # (E, 3)
+    rot = jnp.stack(rot_l)  # (E, 3, 3)
+    rmin = jnp.stack(rmin_l)
+    rmax = jnp.stack(rmax_l)
     return _ChainParams(
         root=tuple(r for _, r, _ in scene.mega_chain),
         root_leaf=tuple(l for _, _, l in scene.mega_chain),
         mesh=tuple(m for m, _, _ in scene.mega_chain),
-        pos=jnp.stack(pos_l),
-        rot=jnp.stack(rot_l),
+        pos=tuple(pos[:, c] for c in range(3)),
+        rot=tuple(tuple(rot[:, i, j] for j in range(3)) for i in range(3)),
         scale=jnp.stack(scale_l),
         one_sided=jnp.stack(os_l),
         cull=jnp.stack(cull_l),
-        rmin=jnp.stack(rmin_l),
-        rmax=jnp.stack(rmax_l),
+        rmin=tuple(rmin[:, c] for c in range(3)),
+        rmax=tuple(rmax[:, c] for c in range(3)),
     )
 
 
-def _select_e(table: jnp.ndarray, entry: jnp.ndarray, e_count: int) -> jnp.ndarray:
-    """Gather-free per-lane select of (E, ...) rows by entry index."""
-    entry_b = entry.reshape(entry.shape + (1,) * (table.ndim - 1))
-    out = jnp.zeros(entry.shape + table.shape[1:], table.dtype)
+def _sel(table: jnp.ndarray, entry: jnp.ndarray, e_count: int) -> jnp.ndarray:
+    """Gather-free per-lane select of an (E,) table by entry index ->
+    (R,)."""
+    out = jnp.zeros(entry.shape, table.dtype)
     for i in range(e_count):
-        out = jnp.where(entry_b == i, table[i], out)
+        out = jnp.where(entry == i, table[i], out)
     return out
 
 
-def _select_scalar(values, entry: jnp.ndarray, e_count: int, dtype) -> jnp.ndarray:
+def _sel_v3(tables, entry: jnp.ndarray, e_count: int) -> V3:
+    return V3(
+        _sel(tables[0], entry, e_count),
+        _sel(tables[1], entry, e_count),
+        _sel(tables[2], entry, e_count),
+    )
+
+
+def _sel_static(values, entry: jnp.ndarray, e_count: int, dtype) -> jnp.ndarray:
     out = jnp.zeros(entry.shape, dtype)
     for i in range(e_count):
         out = jnp.where(entry == i, jnp.asarray(values[i], dtype), out)
     return out
 
 
-def _enter(params: _ChainParams, e_count: int, entry, origin, direction):
+def _rot_fwd(rot, entry, e_count: int, v: V3) -> V3:
+    """out_i = sum_j rot[i][j] * v_j (mul_mat_vec, Trace.cl:105-107),
+    accumulated j = 0, 1, 2 like the einsum it replaces."""
+    out = []
+    for i in range(3):
+        r0 = _sel(rot[i][0], entry, e_count)
+        r1 = _sel(rot[i][1], entry, e_count)
+        r2 = _sel(rot[i][2], entry, e_count)
+        out.append(r0 * v.x + r1 * v.y + r2 * v.z)
+    return V3(*out)
+
+
+def _rot_t(rot, entry, e_count: int, v: V3) -> V3:
+    """out_i = sum_j rot[j][i] * v_j (transposed apply)."""
+    out = []
+    for i in range(3):
+        r0 = _sel(rot[0][i], entry, e_count)
+        r1 = _sel(rot[1][i], entry, e_count)
+        r2 = _sel(rot[2][i], entry, e_count)
+        out.append(r0 * v.x + r1 * v.y + r2 * v.z)
+    return V3(*out)
+
+
+def _enter(params: _ChainParams, e_count: int, entry, origin: V3, direction: V3):
     """WorldToLocalRay (Trace.cl:118-137) for each lane's chain entry."""
     entry_c = jnp.minimum(entry, e_count - 1)
-    pos = _select_e(params.pos, entry_c, e_count)
-    rot = _select_e(params.rot, entry_c, e_count)  # (R, 3, 3)
-    scale = _select_e(params.scale, entry_c, e_count)
-    safe = jnp.where(jnp.abs(scale) > EPSILON, scale, _F32(1.0))[:, None]
-    lo = jnp.einsum("rji,rj->ri", rot, origin - pos) / safe
-    ld = normalize3(jnp.einsum("rji,rj->ri", rot, direction) / safe)
-    root = _select_scalar(params.root, entry_c, e_count, jnp.int32)
-    root_leaf = _select_scalar(params.root_leaf, entry_c, e_count, bool)
-    return lo, ld, 1.0 / ld, root, root_leaf
+    pos = _sel_v3(params.pos, entry_c, e_count)
+    scale = _sel(params.scale, entry_c, e_count)
+    safe = jnp.where(jnp.abs(scale) > _EPS, scale, _F32(1.0))
+    lo = _rot_t(params.rot, entry_c, e_count, origin - pos) / safe
+    ld = v3lib.normalize(_rot_t(params.rot, entry_c, e_count, direction) / safe)
+    root = _sel_static(params.root, entry_c, e_count, jnp.int32)
+    root_leaf = _sel_static(params.root_leaf, entry_c, e_count, bool)
+    return lo, ld, V3(1.0 / ld.x, 1.0 / ld.y, 1.0 / ld.z), root, root_leaf
 
 
-def _mt_inline(lo, ld, row, base, cull):
-    """Exact Moller-Trumbore against an inline triangle slot of a leaf
-    row; identical op order to intersect._mt_single. Returns the owner
-    mesh aux too."""
-    pa = row[:, base : base + 3]
-    pb = row[:, base + 3 : base + 6]
-    pc = row[:, base + 6 : base + 9]
-    na = row[:, base + 9 : base + 12]
-    nb = row[:, base + 12 : base + 15]
-    nc = row[:, base + 15 : base + 18]
-    aux = lax.bitcast_convert_type(row[:, base + 18], jnp.int32)
-
+def _mt_core(lo: V3, ld: V3, pa: V3, pb: V3, pc: V3, na: V3, nb: V3, nc: V3,
+             cull):
+    """Exact Moller-Trumbore; identical op order to intersect._mt_single.
+    ``cull`` is a bool array broadcastable to the lane shape."""
     e1 = pb - pa
     e2 = pc - pa
-    h = cross3(ld, e2)
-    det = dot3(e1, h)
-    ok = jnp.abs(det) >= EPSILON
+    h = v3lib.cross(ld, e2)
+    det = v3lib.dot(e1, h)
+    ok = jnp.abs(det) >= _EPS
     f = 1.0 / det
     s = lo - pa
-    u = f * dot3(s, h)
+    u = f * v3lib.dot(s, h)
     ok &= (u >= 0.0) & (u <= 1.0)
-    q = cross3(s, e1)
-    v = f * dot3(ld, q)
+    q = v3lib.cross(s, e1)
+    v = f * v3lib.dot(ld, q)
     ok &= (v >= 0.0) & (u + v <= 1.0)
-    t = f * dot3(e2, q)
-    ok &= t > EPSILON
-    n = normalize3(na * (1.0 - u - v)[:, None] + nb * u[:, None] + nc * v[:, None])
-    backface = dot3(ld, n) > EPSILON
+    t = f * v3lib.dot(e2, q)
+    ok &= t > _EPS
+    w = 1.0 - u - v
+    n = v3lib.normalize(V3(
+        na.x * w + nb.x * u + nc.x * v,
+        na.y * w + nb.y * u + nc.y * v,
+        na.z * w + nb.z * u + nc.z * v,
+    ))
+    backface = v3lib.dot(ld, n) > _EPS
     ok &= ~(cull & backface)
-    n = jnp.where(backface[:, None], -n, n)
-    return ok, t, n, backface, aux
-
-
-def _mt_static(lo, ld, row19, cull: bool):
-    """Exact MT of all lanes against ONE static triangle (a (19,) traced
-    row broadcast over lanes); same op order as _mt_single."""
-    pa = row19[0:3][None, :]
-    pb = row19[3:6][None, :]
-    pc = row19[6:9][None, :]
-    na = row19[9:12][None, :]
-    nb = row19[12:15][None, :]
-    nc = row19[15:18][None, :]
-
-    e1 = pb - pa
-    e2 = pc - pa
-    h = cross3(ld, e2)
-    det = dot3(e1, h)
-    ok = jnp.abs(det) >= EPSILON
-    f = 1.0 / det
-    s = lo - pa
-    u = f * dot3(s, h)
-    ok &= (u >= 0.0) & (u <= 1.0)
-    q = cross3(s, e1)
-    v = f * dot3(ld, q)
-    ok &= (v >= 0.0) & (u + v <= 1.0)
-    t = f * dot3(e2, q)
-    ok &= t > EPSILON
-    n = normalize3(na * (1.0 - u - v)[:, None] + nb * u[:, None] + nc * v[:, None])
-    backface = dot3(ld, n) > EPSILON
-    if cull:
-        ok &= ~backface
-    n = jnp.where(backface[:, None], -n, n)
+    n = v3lib.where(backface, -n, n)
     return ok, t, n, backface
 
 
-def _static_stage(scene: Scene, enabled, origin, direction):
+def _col_v3(rowt: jnp.ndarray, base: int) -> V3:
+    """Three adjacent columns of the transposed row bank -> V3 of (R,)."""
+    return V3(rowt[base], rowt[base + 1], rowt[base + 2])
+
+
+def _mt_inline(lo: V3, ld: V3, rowt, base, cull):
+    """MT against an inline triangle slot of a (transposed) leaf row;
+    returns the owner-mesh aux word too."""
+    pa = _col_v3(rowt, base)
+    pb = _col_v3(rowt, base + 3)
+    pc = _col_v3(rowt, base + 6)
+    na = _col_v3(rowt, base + 9)
+    nb = _col_v3(rowt, base + 12)
+    nc = _col_v3(rowt, base + 15)
+    aux = lax.bitcast_convert_type(rowt[base + 18], jnp.int32)
+    ok, t, n, backface = _mt_core(lo, ld, pa, pb, pc, na, nb, nc, cull)
+    return ok, t, n, backface, aux
+
+
+def _mt_static(lo: V3, ld: V3, row19, cull: bool):
+    """Exact MT of all lanes against ONE static triangle (a (19,) traced
+    row broadcast over lanes); same op order as _mt_single."""
+    c = lambda b: V3(row19[b], row19[b + 1], row19[b + 2])
+    return _mt_core(
+        lo, ld, c(0), c(3), c(6), c(9), c(12), c(15), jnp.asarray(cull)
+    )
+
+
+def _static_stage(scene: Scene, enabled, origin: V3, direction: V3):
     """Dense MT of the inline static triangles (Scene.mega_static_rows)
     for lanes with a fresh ray; returns the seeded world-space best
     (valid, dst, point, normal, back, mesh) exactly as the old fused
@@ -288,8 +327,9 @@ def _static_stage(scene: Scene, enabled, origin, direction):
     oracle. Candidates fold in mesh/index order with strict <, matching
     the reference's per-mesh loop order."""
     s_count = len(scene.mega_static_cull)
-    r = origin.shape[0]
-    zero3 = jnp.zeros((r, 3), _F32)
+    r = enabled.shape[0]
+    zeros = jnp.zeros((r,), _F32)
+    zero3 = V3(zeros, zeros, zeros)
     falses = jnp.zeros((r,), bool)
     if s_count == 0:
         return (
@@ -297,7 +337,7 @@ def _static_stage(scene: Scene, enabled, origin, direction):
             jnp.zeros((r,), jnp.int32) - 1,
         )
 
-    ld = normalize3(direction)
+    ld = v3lib.normalize(direction)
     lt = jnp.full((r,), _INF, _F32)
     lnrm = zero3
     lback = falses
@@ -315,19 +355,19 @@ def _static_stage(scene: Scene, enabled, origin, direction):
         owner = lax.bitcast_convert_type(row19[18], jnp.int32)
         win = enabled & ok & (t < lt)
         lt = jnp.where(win, t, lt)
-        lnrm = jnp.where(win[:, None], n, lnrm)
+        lnrm = v3lib.where(win, n, lnrm)
         lback = jnp.where(win, backface, lback)
         lmesh = jnp.where(win, owner, lmesh)
 
     valid = enabled & (lmesh >= 0)
-    point = origin + ld * lt[:, None]
-    n_w = normalize3(lnrm)
-    dst = length3(point - origin)
+    point = origin + ld * lt
+    n_w = v3lib.normalize(lnrm)
+    dst = v3lib.length(point - origin)
     return (
         valid,
         jnp.where(valid, dst, _INF),
-        jnp.where(valid[:, None], point, 0.0),
-        jnp.where(valid[:, None], n_w, 0.0),
+        v3lib.where(valid, point, zero3),
+        v3lib.where(valid, n_w, zero3),
         valid & lback,
         jnp.where(valid, lmesh, -1),
     )
@@ -349,10 +389,41 @@ def _static_cull(scene: Scene, owner: jnp.ndarray) -> jnp.ndarray:
     return cull
 
 
+def _aabb_soa(lo: V3, lid: V3, bmin: V3, bmax: V3, limit):
+    """Slab test of per-lane boxes with a distance bound; same
+    association as the (R, 3)-reduction form it replaced."""
+    t0 = (bmin - lo) * lid
+    t1 = (bmax - lo) * lid
+    tsm = V3(jnp.minimum(t0.x, t1.x), jnp.minimum(t0.y, t1.y),
+             jnp.minimum(t0.z, t1.z))
+    tbg = V3(jnp.maximum(t0.x, t1.x), jnp.maximum(t0.y, t1.y),
+             jnp.maximum(t0.z, t1.z))
+    sx = jnp.where(jnp.isnan(tsm.x), _NINF, tsm.x)
+    sy = jnp.where(jnp.isnan(tsm.y), _NINF, tsm.y)
+    sz = jnp.where(jnp.isnan(tsm.z), _NINF, tsm.z)
+    bx = jnp.where(jnp.isnan(tbg.x), _INF, tbg.x)
+    by = jnp.where(jnp.isnan(tbg.y), _INF, tbg.y)
+    bz = jnp.where(jnp.isnan(tbg.z), _INF, tbg.z)
+    tmin = jnp.maximum(jnp.maximum(sx, sy), sz)
+    tmax = jnp.minimum(jnp.minimum(bx, by), bz)
+    return (tmax >= jnp.maximum(tmin, 0.0)) & (tmin < limit), tmin
+
+
+def _pretest(params, e_count: int, entry, lo: V3, lid: V3, w_dst):
+    """Root pretest: slab the entry's local root box against the bound."""
+    entry_c = jnp.minimum(entry, e_count - 1)
+    scale = _sel(params.scale, entry_c, e_count)
+    safe = jnp.where(jnp.abs(scale) > _EPS, scale, _F32(1.0))
+    rmin = _sel_v3(params.rmin, entry_c, e_count)
+    rmax = _sel_v3(params.rmax, entry_c, e_count)
+    ok, _ = _aabb_soa(lo, lid, rmin, rmax, w_dst / safe * _F32(1.001))
+    return ok
+
+
 def run_megakernel(
     scene: Scene,
-    ro0: jnp.ndarray,  # (R, 3) primary origins
-    rd0: jnp.ndarray,  # (R, 3) primary directions
+    ro0,  # (R, 3) primary origins (or V3)
+    rd0,  # (R, 3) primary directions (or V3)
     pixel_index: jnp.ndarray,  # (R,) u32
     frame_index,  # scalar i32
     rays_per_pixel: int,
@@ -374,7 +445,11 @@ def run_megakernel(
     the host-staged compaction driver in render/renderer.py, which caps
     iterations, shrinks the batch to the surviving lanes, and resumes).
     """
-    r = ro0.shape[0]
+    if not isinstance(ro0, V3):
+        ro0 = v3lib.from_rows(ro0)
+    if not isinstance(rd0, V3):
+        rd0 = v3lib.from_rows(rd0)
+    r = ro0.x.shape[0]
     if max_bounces <= 0 and not return_state:
         return jnp.zeros((r, 3), _F32), jnp.float32(0.0), jnp.int32(0)
 
@@ -383,7 +458,7 @@ def run_megakernel(
     s_depth = scene.mega_stack_depth
     use_cache = not subpixel_jitter
 
-    def primary_ray(p_ro0, p_rd0, p_pix, sample_id):
+    def primary_ray(p_ro0: V3, p_rd0: V3, p_pix, sample_id):
         if not subpixel_jitter:
             return p_ro0, p_rd0
         from tpurt.core.camera import make_ray, pixel_uv
@@ -397,7 +472,8 @@ def run_megakernel(
         jseed, jx = rnglib.random_value(jseed)
         jseed, jy = rnglib.random_value(jseed)
         uv = uv + jnp.stack([(jx - 0.5) / width, (jy - 0.5) / height], axis=-1)
-        return make_ray(camera, uv)
+        ro, rd = make_ray(camera, uv)
+        return v3lib.from_rows(ro), v3lib.from_rows(rd)
 
     def seed_for(p_pix, sample_id):
         if seed_mode == "reference":
@@ -406,11 +482,14 @@ def run_megakernel(
             p_pix, frame_index, sample_id + jnp.uint32(sample_offset)
         )
 
-    zero3 = jnp.zeros((r, 3), _F32)
+    zeros = jnp.zeros((r,), _F32)
+    ones = jnp.ones((r,), _F32)
+    zero3 = V3(zeros, zeros, zeros)
     zeros_i = jnp.zeros((r,), jnp.int32)
     falses = jnp.zeros((r,), bool)
     trues = jnp.ones((r,), bool)
-    empty_stack = jnp.full((r, s_depth), _EMPTY, jnp.uint32)
+    empty_slot = jnp.full((r,), _EMPTY, jnp.uint32)
+    empty_stack = tuple(empty_slot for _ in range(s_depth))
 
     # Seed the world best with the inline static stage for the primary
     # segment, then enter the chain (with root pretest).
@@ -419,14 +498,10 @@ def run_megakernel(
         lo0, ld0, lid0, root0, root_leaf0 = _enter(
             params, e_count, zeros_i, ro0, rd0
         )
-        scale0 = _select_e(params.scale, zeros_i, e_count)
-        safe0 = jnp.where(jnp.abs(scale0) > EPSILON, scale0, _F32(1.0))
-        rmin0 = _select_e(params.rmin, zeros_i, e_count)
-        rmax0 = _select_e(params.rmax, zeros_i, e_count)
-        pre_ok0, _ = _aabb_rows(lo0, lid0, rmin0, rmax0, sd / safe0 * _F32(1.001))
+        pre_ok0 = _pretest(params, e_count, zeros_i, lo0, lid0, sd)
         cur0 = jnp.where(pre_ok0, root0, -1)
     else:
-        lo0, ld0, lid0 = ro0, rd0, 1.0 / rd0
+        lo0, ld0, lid0 = ro0, rd0, V3(1.0 / rd0.x, 1.0 / rd0.y, 1.0 / rd0.z)
         cur0 = zeros_i - 1
         root_leaf0 = falses
 
@@ -437,7 +512,7 @@ def run_megakernel(
         rng=seed_for(pixel_index, jnp.uint32(0)), done=falses,
         segments=zeros_i,
         origin=ro0, direction=rd0,
-        throughput=jnp.ones((r, 3), _F32), light=zero3,
+        throughput=V3(ones, ones, ones), light=zero3,
         bounces=zeros_i, invis=zeros_i,
         entry=zeros_i,
         cur=cur0, cur_leaf=root_leaf0 & (cur0 >= 0), cur_slot=zeros_i,
@@ -466,31 +541,34 @@ def run_megakernel(
         if e_count:
             trav = ~s.done & (s.entry < e_count) & (s.cur >= 0)
             idx = jnp.where(trav, s.cur, 0)
-            row = scene.mega_rows[idx]  # (R, MEGA_ROW_WIDTH)
+            # One fat-row gather, then ONE transpose so each column is a
+            # contiguous (R,) lane vector (the (R, W) layout would put W
+            # on the 128-lane axis for every slice).
+            rowt = scene.mega_rows[idx].T  # (MEGA_ROW_WIDTH, R)
 
             entry_c = jnp.minimum(s.entry, e_count - 1)
-            scale_e = _select_e(params.scale, entry_c, e_count)
-            safe_e = jnp.where(jnp.abs(scale_e) > EPSILON, scale_e, _F32(1.0))
+            scale_e = _sel(params.scale, entry_c, e_count)
+            safe_e = jnp.where(jnp.abs(scale_e) > _EPS, scale_e, _F32(1.0))
             limit = jnp.minimum(s.lt, s.w_dst / safe_e * _F32(1.001))
 
             # --- leaf branch: inline exact MT tests -------------------
             leaf_on = trav & s.cur_leaf
-            entry_mesh = _select_scalar(params.mesh, entry_c, e_count, jnp.int32)
+            entry_mesh = _sel_static(params.mesh, entry_c, e_count, jnp.int32)
             is_static = entry_mesh < 0
-            cull_mesh_e = _select_e(params.cull, entry_c, e_count)
+            cull_mesh_e = _sel(params.cull, entry_c, e_count)
             lt, lnrm, lback, lmesh = s.lt, s.lnrm, s.lback, s.lmesh
             for k in range(MEGA_LEAF_TRIS):
                 aux_raw = lax.bitcast_convert_type(
-                    row[:, 19 * k + 18], jnp.int32
+                    rowt[19 * k + 18], jnp.int32
                 )
                 cull = jnp.where(
                     is_static, _static_cull(scene, aux_raw), cull_mesh_e
                 )
-                ok, t, n, backface, aux = _mt_inline(s.lo, s.ld, row, 19 * k, cull)
+                ok, t, n, backface, aux = _mt_inline(s.lo, s.ld, rowt, 19 * k, cull)
                 cand_mesh = jnp.where(is_static, aux, entry_mesh)
                 win = leaf_on & ok & (t < lt)
                 lt = jnp.where(win, t, lt)
-                lnrm = jnp.where(win[:, None], n, lnrm)
+                lnrm = v3lib.where(win, n, lnrm)
                 lback = jnp.where(win, backface, lback)
                 lmesh = jnp.where(win, cand_mesh, lmesh)
 
@@ -502,41 +580,37 @@ def run_megakernel(
             # bound prunes far siblings. cur_slot is a priority threshold
             # for resuming a popped node.
             node_on = trav & ~s.cur_leaf
-            grid_o = row[:, 0:3]
-            grid_s = row[:, 3:6]
-            sort_axis = lax.bitcast_convert_type(row[:, 6], jnp.int32)
+            grid_o = _col_v3(rowt, 0)
+            grid_s = _col_v3(rowt, 3)
+            sort_axis = lax.bitcast_convert_type(rowt[6], jnp.int32)
             dcomp = jnp.where(
-                sort_axis == 0, s.ld[:, 0],
-                jnp.where(sort_axis == 1, s.ld[:, 1], s.ld[:, 2]),
+                sort_axis == 0, s.ld.x,
+                jnp.where(sort_axis == 1, s.ld.y, s.ld.z),
             )
             fwd = dcomp >= 0.0
             best_prio = jnp.full((r,), MEGA_ARITY, jnp.int32)
             first_meta = zeros_i
             hit_count = zeros_i
+            m8 = np.uint32(0xFF)
             for slot in range(MEGA_ARITY):
                 base = 7 + 3 * slot
-                w0 = lax.bitcast_convert_type(row[:, base], jnp.uint32)
-                w1 = lax.bitcast_convert_type(row[:, base + 1], jnp.uint32)
-                meta = lax.bitcast_convert_type(row[:, base + 2], jnp.int32)
-                m8 = jnp.uint32(0xFF)
-                q_lo = jnp.stack(
-                    [w0 & m8, (w0 >> 8) & m8, (w0 >> 16) & m8], -1
-                ).astype(_F32)
-                q_hi = jnp.stack(
-                    [(w0 >> 24) & m8, w1 & m8, (w1 >> 8) & m8], -1
-                ).astype(_F32)
+                w0 = lax.bitcast_convert_type(rowt[base], jnp.uint32)
+                w1 = lax.bitcast_convert_type(rowt[base + 1], jnp.uint32)
+                meta = lax.bitcast_convert_type(rowt[base + 2], jnp.int32)
+                q_lo = V3(
+                    (w0 & m8).astype(_F32),
+                    ((w0 >> np.uint32(8)) & m8).astype(_F32),
+                    ((w0 >> np.uint32(16)) & m8).astype(_F32),
+                )
+                q_hi = V3(
+                    ((w0 >> np.uint32(24)) & m8).astype(_F32),
+                    (w1 & m8).astype(_F32),
+                    ((w1 >> np.uint32(8)) & m8).astype(_F32),
+                )
                 bmin = grid_o + q_lo * grid_s
                 bmax = grid_o + q_hi * grid_s
-                t0 = (bmin - s.lo) * s.lid
-                t1 = (bmax - s.lo) * s.lid
-                tsm = jnp.minimum(t0, t1)
-                tbg = jnp.maximum(t0, t1)
-                tsm = jnp.where(jnp.isnan(tsm), -jnp.inf, tsm)
-                tbg = jnp.where(jnp.isnan(tbg), jnp.inf, tbg)
-                tmin = jnp.max(tsm, -1)
-                tmax = jnp.min(tbg, -1)
+                hit, _tmin = _aabb_soa(s.lo, s.lid, bmin, bmax, limit)
                 prio = jnp.where(fwd, slot, MEGA_ARITY - 1 - slot)
-                hit = (tmax >= jnp.maximum(tmin, 0.0)) & (tmin < limit)
                 hit &= (meta != 0) & (prio >= s.cur_slot)
                 better = hit & (prio < best_prio)
                 best_prio = jnp.where(better, prio, best_prio)
@@ -554,20 +628,17 @@ def run_megakernel(
                  << jnp.uint32(MEGA_SLOT_BITS))
                 | (best_prio + 1).astype(jnp.uint32)
             )
-            top = s.stack[:, 0]
+            top = s.stack[0]
             top_empty = top == _EMPTY
-            stack = jnp.where(
-                push[:, None],
-                jnp.concatenate([push_entry[:, None], s.stack[:, :-1]], axis=1),
-                jnp.where(
-                    (pop & ~top_empty)[:, None],
-                    jnp.concatenate(
-                        [s.stack[:, 1:], jnp.full((r, 1), _EMPTY, jnp.uint32)],
-                        axis=1,
-                    ),
-                    s.stack,
-                ),
-            )
+            pop_shift = pop & ~top_empty
+            stack = []
+            for i in range(s_depth):
+                below = s.stack[i - 1] if i > 0 else push_entry
+                above = s.stack[i + 1] if i + 1 < s_depth else empty_slot
+                stack.append(jnp.where(
+                    push, below, jnp.where(pop_shift, above, s.stack[i])
+                ))
+            stack = tuple(stack)
 
             cur = s.cur
             cur_leaf = s.cur_leaf
@@ -590,30 +661,28 @@ def run_megakernel(
             # ---------------- NEXT-MESH: fold + enter --------------------
             fin = ~s.done & (s.entry < e_count) & (cur < 0)
             lvalid = fin & (lmesh >= 0)
-            one_sided_e = _select_e(params.one_sided, entry_c, e_count)
+            one_sided_e = _sel(params.one_sided, entry_c, e_count)
             lvalid &= ~(one_sided_e & lback)
-            lvalid &= scale_e > EPSILON
-            rot_e = _select_e(params.rot, entry_c, e_count)
-            pos_e = _select_e(params.pos, entry_c, e_count)
-            point_l = s.lo + s.ld * lt[:, None]
+            lvalid &= scale_e > _EPS
+            point_l = s.lo + s.ld * lt
             point_w = (
-                jnp.einsum("rij,rj->ri", rot_e, point_l * scale_e[:, None])
-                + pos_e
+                _rot_fwd(params.rot, entry_c, e_count, point_l * scale_e)
+                + _sel_v3(params.pos, entry_c, e_count)
             )
-            n_w = normalize3(jnp.einsum("rij,rj->ri", rot_e, lnrm))
-            dst = length3(point_w - s.origin)
+            n_w = v3lib.normalize(_rot_fwd(params.rot, entry_c, e_count, lnrm))
+            dst = v3lib.length(point_w - s.origin)
             closer = lvalid & (dst < s.w_dst)
             w_valid = jnp.where(fin, s.w_valid | closer, s.w_valid)
             w_dst = jnp.where(closer, dst, s.w_dst)
-            w_point = jnp.where(closer[:, None], point_w, s.w_point)
-            w_normal = jnp.where(closer[:, None], n_w, s.w_normal)
+            w_point = v3lib.where(closer, point_w, s.w_point)
+            w_normal = v3lib.where(closer, n_w, s.w_normal)
             w_back = jnp.where(closer, lback, s.w_back)
             w_mesh = jnp.where(closer, lmesh, s.w_mesh)
 
             entry = jnp.where(fin, s.entry + 1, s.entry)
             in_chain = fin & (entry < e_count)
             lt = jnp.where(fin, _INF, lt)
-            lnrm = jnp.where(fin[:, None], 0.0, lnrm)
+            lnrm = v3lib.where(fin, zero3, lnrm)
             lback = jnp.where(fin, False, lback)
             lmesh = jnp.where(fin, -1, lmesh)
         else:
@@ -631,7 +700,7 @@ def run_megakernel(
         shade = ~s.done & (entry >= e_count)
         segments = s.segments + shade.astype(jnp.int32)
 
-        res = shade_hit(
+        res = shade_hit_soa(
             scene, shade,
             w_valid, w_point, w_normal, w_back, w_mesh,
             s.origin, s.direction, s.throughput, s.light, s.rng, s.bounces,
@@ -644,15 +713,20 @@ def run_megakernel(
         store = shade & use_cache & ~s.c_set & (s.bounces == 0) & (s.sample == 0)
         c_set = s.c_set | store
         c_valid = jnp.where(store, w_valid, s.c_valid)
-        c_point = jnp.where(store[:, None], w_point, s.c_point)
-        c_normal = jnp.where(store[:, None], w_normal, s.c_normal)
+        c_point = v3lib.where(store, w_point, s.c_point)
+        c_normal = v3lib.where(store, w_normal, s.c_normal)
         c_back = jnp.where(store, w_back, s.c_back)
         c_mesh = jnp.where(store, w_mesh, s.c_mesh)
         c_dst = jnp.where(store, w_dst, s.c_dst)
 
         cont = shade & continuing
         path_end = shade & ~continuing
-        acc = s.acc + jnp.where(path_end[:, None], res.light, 0.0)
+        zero = np.float32(0.0)
+        acc = s.acc + V3(
+            jnp.where(path_end, res.light.x, zero),
+            jnp.where(path_end, res.light.y, zero),
+            jnp.where(path_end, res.light.z, zero),
+        )
         sample = s.sample + path_end.astype(jnp.int32)
         retire = path_end & (sample >= rays_per_pixel)
         done = s.done | retire
@@ -664,10 +738,19 @@ def run_megakernel(
         if seed_mode != "reference":
             rng = jnp.where(new_sample, seed_for(s.pix, sample_u), rng)
 
-        origin = jnp.where(new_sample[:, None], ro_s, res.origin)
-        direction = jnp.where(new_sample[:, None], rd_s, res.direction)
-        throughput = jnp.where(new_sample[:, None], 1.0, res.throughput)
-        light = jnp.where(new_sample[:, None], 0.0, res.light)
+        origin = v3lib.where(new_sample, ro_s, res.origin)
+        direction = v3lib.where(new_sample, rd_s, res.direction)
+        one = np.float32(1.0)
+        throughput = V3(
+            jnp.where(new_sample, one, res.throughput.x),
+            jnp.where(new_sample, one, res.throughput.y),
+            jnp.where(new_sample, one, res.throughput.z),
+        )
+        light = V3(
+            jnp.where(new_sample, zero, res.light.x),
+            jnp.where(new_sample, zero, res.light.y),
+            jnp.where(new_sample, zero, res.light.z),
+        )
         bounces = jnp.where(new_sample, 0, res.bounces)
         invis = jnp.where(new_sample, 0, invis)
 
@@ -675,7 +758,9 @@ def run_megakernel(
         replay = new_sample & c_set
         restart = cont | (new_sample & ~replay)
         entry = jnp.where(restart, 0, entry)
-        stack = jnp.where(restart[:, None], _EMPTY, stack)
+        stack = tuple(
+            jnp.where(restart, _EMPTY, slot_arr) for slot_arr in stack
+        )
 
         # ---- world-best reset + static stage + cached replay ----------
         # (before `entering` so the root pretest sees the seeded w_dst)
@@ -686,16 +771,16 @@ def run_megakernel(
         sv, sd, sp, sn, sb, sm = _static_stage(scene, restart, origin, direction)
         w_valid = jnp.where(restart, sv, w_valid)
         w_dst = jnp.where(restart, sd, w_dst)
-        w_point = jnp.where(restart[:, None], sp, w_point)
-        w_normal = jnp.where(restart[:, None], sn, w_normal)
+        w_point = v3lib.where(restart, sp, w_point)
+        w_normal = v3lib.where(restart, sn, w_normal)
         w_back = jnp.where(restart, sb, w_back)
         w_mesh = jnp.where(restart, sm, w_mesh)
 
         entry = jnp.where(replay, e_count, entry)
         w_valid = jnp.where(replay, c_valid, w_valid)
         w_dst = jnp.where(replay, c_dst, w_dst)
-        w_point = jnp.where(replay[:, None], c_point, w_point)
-        w_normal = jnp.where(replay[:, None], c_normal, w_normal)
+        w_point = v3lib.where(replay, c_point, w_point)
+        w_normal = v3lib.where(replay, c_normal, w_normal)
         w_back = jnp.where(replay, c_back, w_back)
         w_mesh = jnp.where(replay, c_mesh, w_mesh)
 
@@ -711,17 +796,11 @@ def run_megakernel(
             # Root pretest: skip the whole subtree when the entry's
             # local root box lies beyond the already-found best hit
             # (seeded by the static stage) or misses the ray.
-            entry_c2 = jnp.minimum(entry, e_count - 1)
-            scale2 = _select_e(params.scale, entry_c2, e_count)
-            safe2 = jnp.where(jnp.abs(scale2) > EPSILON, scale2, _F32(1.0))
-            rmin2 = _select_e(params.rmin, entry_c2, e_count)
-            rmax2 = _select_e(params.rmax, entry_c2, e_count)
-            pre_ok, _ = _aabb_rows(lo2, lid2, rmin2, rmax2,
-                                   w_dst / safe2 * _F32(1.001))
+            pre_ok = _pretest(params, e_count, entry, lo2, lid2, w_dst)
             root_or_skip = jnp.where(pre_ok, root2, -1)
-            lo = jnp.where(entering[:, None], lo2, s.lo)
-            ld = jnp.where(entering[:, None], ld2, s.ld)
-            lid = jnp.where(entering[:, None], lid2, s.lid)
+            lo = v3lib.where(entering, lo2, s.lo)
+            ld = v3lib.where(entering, ld2, s.ld)
+            lid = v3lib.where(entering, lid2, s.lid)
             cur = jnp.where(entering, root_or_skip, cur)
             cur_leaf = jnp.where(entering, root_leaf2 & pre_ok, cur_leaf)
             cur_slot = jnp.where(entering, 0, cur_slot)
@@ -752,18 +831,5 @@ def run_megakernel(
     final = lax.while_loop(cond, body_unrolled, lane)
     if return_state:
         return final
-    mean = final.acc / jnp.float32(rays_per_pixel)
+    mean = v3lib.to_rows(final.acc) / jnp.float32(rays_per_pixel)
     return mean, jnp.sum(final.segments.astype(jnp.float32)), final.iters
-
-
-def _aabb_rows(lo, lid, bmin, bmax, limit):
-    """Slab test of per-lane boxes (all (R,3)) with a distance bound."""
-    t0 = (bmin - lo) * lid
-    t1 = (bmax - lo) * lid
-    tsm = jnp.minimum(t0, t1)
-    tbg = jnp.maximum(t0, t1)
-    tsm = jnp.where(jnp.isnan(tsm), -jnp.inf, tsm)
-    tbg = jnp.where(jnp.isnan(tbg), jnp.inf, tbg)
-    tmin = jnp.max(tsm, -1)
-    tmax = jnp.min(tbg, -1)
-    return (tmax >= jnp.maximum(tmin, 0.0)) & (tmin < limit), tmin

@@ -12,8 +12,11 @@ through the MT math chunk by chunk with a running per-ray closest-hit
 reduction. All arithmetic follows intersect._mt_single's op order in
 f32; acceptance can differ from the XLA path only on 1-ulp knife edges.
 
-Kept deliberately optional (RenderConfig.use_pallas): the modular XLA
-path is the parity anchor, this is the speed path.
+Wired into the render path as ``RenderConfig.dense_engine="pallas"``
+(intersect._pallas_sweep_ids routes both brute-force entry points here
+on TPU backends); the "exact" XLA path is the parity anchor, this is a
+speed path. Reference counterpart: the dense leaf case of
+src/Trace.cl:276-317.
 """
 
 from __future__ import annotations

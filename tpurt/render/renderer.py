@@ -249,9 +249,13 @@ def _mega_compact(state, *, quarter: int):
 
 @jax.jit
 def _mega_merge(state, small, idx, spp):
-    acc = state.acc.at[idx].set(small.acc)
+    acc = jax.tree_util.tree_map(
+        lambda full, part: full.at[idx].set(part), state.acc, small.acc
+    )
     segments = state.segments.at[idx].set(small.segments)
-    mean = acc / spp.astype(jnp.float32)
+    from tpurt.core import v3 as v3lib
+
+    mean = v3lib.to_rows(acc) / spp.astype(jnp.float32)
     return mean, jnp.sum(segments.astype(jnp.float32))
 
 
@@ -273,7 +277,9 @@ def _mega_finish_staged(scene, camera, cfg: RenderConfig, state, active, fo, r):
         )
         mean, segs = _mega_merge(state, small, idx, jnp.int32(cfg.rays_per_pixel))
     else:
-        mean = state.acc / jnp.float32(cfg.rays_per_pixel)
+        from tpurt.core import v3 as v3lib
+
+        mean = v3lib.to_rows(state.acc) / jnp.float32(cfg.rays_per_pixel)
         segs = jnp.sum(state.segments.astype(jnp.float32))
     return mean, segs
 

@@ -9,18 +9,38 @@ Materials are fetched with a select chain over the (small, static) mesh
 count instead of gathers: on this TPU backend a gather op inside a loop
 costs ~0.2-0.35ms across lanes regardless of width, while K broadcast
 selects are ordinary fused VPU ops.
+
+The core (``shade_hit_soa``) carries vectors as tpurt.core.v3.V3
+component triples — the measured-fast layout on TPU (see v3.py's
+module docstring) — and ``shade_hit`` is the (R, 3)-layout wrapper used
+by the modular engine. Both produce bit-identical results (the wrapper
+only repacks components).
 """
 
 from __future__ import annotations
 
 from typing import NamedTuple
 
+import numpy as np
+
 import jax.numpy as jnp
 
 from tpurt.config import EPSILON, IOR_AIR
 from tpurt.core import rng as rnglib
-from tpurt.core.vecmath import fresnel_reflectance, lerp3, normalize3, reflect, refract
+from tpurt.core import v3 as v3lib
+from tpurt.core.v3 import V3
 from tpurt.scene.types import MaterialType, Scene
+
+
+class ShadeResultSoA(NamedTuple):
+    origin: V3
+    direction: V3
+    throughput: V3
+    light: V3
+    rng: jnp.ndarray  # (R,) u32
+    bounces: jnp.ndarray  # (R,) i32
+    continuing: jnp.ndarray  # (R,) bool — path goes on (per Trace.cl exit rules)
+    invisible: jnp.ndarray  # (R,) bool — pass-through hit (no bounce spent)
 
 
 class ShadeResult(NamedTuple):
@@ -30,40 +50,179 @@ class ShadeResult(NamedTuple):
     light: jnp.ndarray
     rng: jnp.ndarray  # (R,) u32
     bounces: jnp.ndarray  # (R,) i32
-    continuing: jnp.ndarray  # (R,) bool — path goes on (per Trace.cl exit rules)
-    invisible: jnp.ndarray  # (R,) bool — pass-through hit (no bounce spent)
+    continuing: jnp.ndarray  # (R,) bool
+    invisible: jnp.ndarray  # (R,) bool
 
 
-def select_material(scene: Scene, mesh_idx: jnp.ndarray):
+def select_material_soa(scene: Scene, mesh_idx: jnp.ndarray):
     """Gather-free material fetch: chain of broadcast selects over the
-    static mesh count. Returns per-lane material fields."""
+    static mesh count. Returns per-lane material fields (colors as V3)."""
     k = scene.num_meshes
     r = mesh_idx.shape[0]
+    zeros = jnp.zeros((r,), jnp.float32)
     mtype = jnp.zeros((r,), jnp.int32)
-    ior = jnp.zeros((r,), jnp.float32)
-    color = jnp.zeros((r, 3), jnp.float32)
-    em_color = jnp.zeros((r, 3), jnp.float32)
-    em_strength = jnp.zeros((r,), jnp.float32)
-    refl = jnp.zeros((r,), jnp.float32)
-    spec = jnp.zeros((r,), jnp.float32)
+    ior = zeros
+    color = V3(zeros, zeros, zeros)
+    em_color = V3(zeros, zeros, zeros)
+    em_strength = zeros
+    refl = zeros
+    spec = zeros
     for i in range(k):
         m = mesh_idx == i
-        m3 = m[:, None]
         mtype = jnp.where(m, scene.mat_type[i], mtype)
         ior = jnp.where(m, scene.mat_ior[i], ior)
-        color = jnp.where(m3, scene.mat_color[i], color)
-        em_color = jnp.where(m3, scene.mat_emission_color[i], em_color)
+        color = V3(
+            jnp.where(m, scene.mat_color[i][0], color.x),
+            jnp.where(m, scene.mat_color[i][1], color.y),
+            jnp.where(m, scene.mat_color[i][2], color.z),
+        )
+        em_color = V3(
+            jnp.where(m, scene.mat_emission_color[i][0], em_color.x),
+            jnp.where(m, scene.mat_emission_color[i][1], em_color.y),
+            jnp.where(m, scene.mat_emission_color[i][2], em_color.z),
+        )
         em_strength = jnp.where(m, scene.mat_emission_strength[i], em_strength)
         refl = jnp.where(m, scene.mat_reflectiveness[i], refl)
         spec = jnp.where(m, scene.mat_specular_prob[i], spec)
     return mtype, ior, color, em_color, em_strength, refl, spec
 
 
-def shade_hit(
+def select_material(scene: Scene, mesh_idx: jnp.ndarray):
+    """Row-layout compatibility fetch: colors as (R, 3)."""
+    mtype, ior, color, em_color, em_strength, refl, spec = select_material_soa(
+        scene, mesh_idx
+    )
+    return (
+        mtype, ior, v3lib.to_rows(color), v3lib.to_rows(em_color),
+        em_strength, refl, spec,
+    )
+
+
+def shade_hit_soa(
     scene: Scene,
     enabled: jnp.ndarray,  # (R,) bool — lanes taking a shade step now
     hit_valid: jnp.ndarray,
-    hit_point: jnp.ndarray,
+    hit_point: V3,
+    hit_normal: V3,
+    hit_backface: jnp.ndarray,
+    hit_mesh: jnp.ndarray,
+    origin: V3,
+    direction: V3,
+    throughput: V3,
+    light: V3,
+    rng: jnp.ndarray,
+    bounces: jnp.ndarray,
+    max_bounces: int,
+) -> ShadeResultSoA:
+    """One material interaction for lanes where ``enabled``; all other
+    lanes pass through untouched (including their RNG stream)."""
+    mtype, ior, color, em_color, em_strength, refl, spec_prob = (
+        select_material_soa(scene, jnp.maximum(hit_mesh, 0))
+    )
+
+    a_hit = enabled & hit_valid
+    invisible = a_hit & (mtype == int(MaterialType.INVISIBLE))
+    scatter = a_hit & ~invisible
+
+    # --- Checker cell selection (Trace.cl:509-524) ---
+    # Deliberate deviation: cell size 1 when emissionStrength == 0; the
+    # reference divides unguarded (Trace.cl:511-515) — see README.
+    is_checker = scatter & (mtype == int(MaterialType.CHECKER))
+    checker_size = jnp.where(em_strength != 0.0, em_strength, 1.0)
+    xi = jnp.floor(hit_point.x / checker_size).astype(jnp.int32)
+    zi = jnp.floor(hit_point.z / checker_size).astype(jnp.int32)
+    is_even = ((xi + zi) & 1) == 0
+    checker_color = v3lib.where(is_even, color, em_color)
+    color = v3lib.where(is_checker, checker_color, color)
+    em_strength = jnp.where(is_checker, 0.0, em_strength)
+
+    # --- Diffuse/specular scatter: Checker + Solid (Trace.cl:525-533,559-567) ---
+    mask_cs = is_checker | (scatter & (mtype == int(MaterialType.SOLID)))
+    new_rng, rv = rnglib.random_value_masked(rng, mask_cs)
+    new_rng, (rdx, rdy, rdz) = rnglib.random_direction_masked_soa(new_rng, mask_cs)
+    is_specular = spec_prob >= rv
+    diffuse_dir = v3lib.normalize(hit_normal + V3(rdx, rdy, rdz))
+    specular_dir = v3lib.reflect(direction, hit_normal)
+    dir_cs = v3lib.normalize(
+        v3lib.lerp(diffuse_dir, specular_dir, refl * is_specular.astype(jnp.float32))
+    )
+
+    # --- Glassy (Trace.cl:534-558) ---
+    is_glassy = scatter & (mtype == int(MaterialType.GLASSY))
+    ior_cur = jnp.where(hit_backface, ior, IOR_AIR)
+    ior_next = jnp.where(hit_backface, IOR_AIR, ior)
+    reflect_dir = v3lib.reflect(direction, hit_normal)
+    refract_dir = v3lib.refract(direction, hit_normal, ior_cur, ior_next)
+    reflect_w = v3lib.fresnel_reflectance(direction, hit_normal, ior_cur, ior_next)
+    new_rng, r01 = rnglib.rand01_masked(new_rng, is_glassy)
+    will_reflect = r01 < reflect_w
+    dir_glassy = v3lib.where(will_reflect, reflect_dir, refract_dir)
+    glassy_w = jnp.where(will_reflect, reflect_w, 1.0 - reflect_w)
+
+    new_dir = v3lib.where(
+        is_glassy, dir_glassy, v3lib.where(mask_cs, dir_cs, direction)
+    )
+    throughput_new = throughput * jnp.where(is_glassy, glassy_w, 1.0)
+
+    # --- Common tail (Trace.cl:574-591) ---
+    # Masked contributions keep the original add-zero / mul-one forms
+    # (not selects) so -0.0 edges stay bit-identical to the row-layout
+    # implementation this replaced.
+    emission = em_color * em_strength
+    zero = np.float32(0.0)
+    one = np.float32(1.0)
+    contrib = throughput_new * emission
+    light_new = light + V3(
+        jnp.where(scatter, contrib.x, zero),
+        jnp.where(scatter, contrib.y, zero),
+        jnp.where(scatter, contrib.z, zero),
+    )
+    eps = np.float32(EPSILON)
+    origin_new = v3lib.where(scatter, hit_point + new_dir * eps, origin)
+    origin_new = v3lib.where(
+        invisible, hit_point + direction * eps, origin_new
+    )
+    throughput_new = throughput_new * V3(
+        jnp.where(scatter, color.x, one),
+        jnp.where(scatter, color.y, one),
+        jnp.where(scatter, color.z, one),
+    )
+
+    # Russian roulette after bounce 3 (Trace.cl:583-590).
+    # Same association as jnp.max over a 3-axis: (x max y) max z.
+    p = jnp.maximum(jnp.maximum(throughput_new.x, throughput_new.y),
+                    throughput_new.z)
+    rr = scatter & (bounces > 3)
+    q = jnp.maximum(0.05, 1.0 - p)
+    new_rng, r01_rr = rnglib.rand01_masked(new_rng, rr)
+    killed = rr & (r01_rr < q)
+    surv = rr & ~killed
+    throughput_new = v3lib.where(
+        surv, throughput_new / (1.0 - q), throughput_new
+    )
+
+    bounces_new = bounces + scatter.astype(jnp.int32)
+    continuing = a_hit & ~killed & (bounces_new < max_bounces)
+    # Invisible lanes stay continuing without spending a bounce; miss
+    # lanes (enabled & ~hit_valid) break (Trace.cl:497-501).
+
+    return ShadeResultSoA(
+        origin=v3lib.where(enabled, origin_new, origin),
+        direction=v3lib.where(scatter, new_dir, direction),
+        throughput=v3lib.where(enabled, throughput_new, throughput),
+        light=v3lib.where(enabled, light_new, light),
+        rng=new_rng,  # masked draws already froze non-participating lanes
+        bounces=jnp.where(enabled, bounces_new, bounces),
+        continuing=continuing,
+        invisible=invisible,
+    )
+
+
+def shade_hit(
+    scene: Scene,
+    enabled: jnp.ndarray,
+    hit_valid: jnp.ndarray,
+    hit_point: jnp.ndarray,  # (R, 3)
     hit_normal: jnp.ndarray,
     hit_backface: jnp.ndarray,
     hit_mesh: jnp.ndarray,
@@ -75,90 +234,23 @@ def shade_hit(
     bounces: jnp.ndarray,
     max_bounces: int,
 ) -> ShadeResult:
-    """One material interaction for lanes where ``enabled``; all other
-    lanes pass through untouched (including their RNG stream)."""
-    mtype, ior, color, em_color, em_strength, refl, spec_prob = select_material(
-        scene, jnp.maximum(hit_mesh, 0)
+    """(R, 3)-layout wrapper over shade_hit_soa (the modular engine's
+    calling convention); numerically identical — only repacks."""
+    res = shade_hit_soa(
+        scene, enabled, hit_valid,
+        v3lib.from_rows(hit_point), v3lib.from_rows(hit_normal),
+        hit_backface, hit_mesh,
+        v3lib.from_rows(origin), v3lib.from_rows(direction),
+        v3lib.from_rows(throughput), v3lib.from_rows(light),
+        rng, bounces, max_bounces,
     )
-
-    a_hit = enabled & hit_valid
-    invisible = a_hit & (mtype == int(MaterialType.INVISIBLE))
-    scatter = a_hit & ~invisible
-
-    # --- Checker cell selection (Trace.cl:509-524) ---
-    is_checker = scatter & (mtype == int(MaterialType.CHECKER))
-    checker_size = jnp.where(em_strength != 0.0, em_strength, 1.0)
-    xi = jnp.floor(hit_point[:, 0] / checker_size).astype(jnp.int32)
-    zi = jnp.floor(hit_point[:, 2] / checker_size).astype(jnp.int32)
-    is_even = ((xi + zi) & 1) == 0
-    checker_color = jnp.where(is_even[:, None], color, em_color)
-    color = jnp.where(is_checker[:, None], checker_color, color)
-    em_strength = jnp.where(is_checker, 0.0, em_strength)
-
-    # --- Diffuse/specular scatter: Checker + Solid (Trace.cl:525-533,559-567) ---
-    mask_cs = is_checker | (scatter & (mtype == int(MaterialType.SOLID)))
-    new_rng, rv = rnglib.random_value_masked(rng, mask_cs)
-    new_rng, rdir = rnglib.random_direction_masked(new_rng, mask_cs)
-    is_specular = spec_prob >= rv
-    diffuse_dir = normalize3(hit_normal + rdir)
-    specular_dir = reflect(direction, hit_normal)
-    dir_cs = normalize3(
-        lerp3(diffuse_dir, specular_dir, refl * is_specular.astype(jnp.float32))
-    )
-
-    # --- Glassy (Trace.cl:534-558) ---
-    is_glassy = scatter & (mtype == int(MaterialType.GLASSY))
-    ior_cur = jnp.where(hit_backface, ior, IOR_AIR)
-    ior_next = jnp.where(hit_backface, IOR_AIR, ior)
-    reflect_dir = reflect(direction, hit_normal)
-    refract_dir = refract(direction, hit_normal, ior_cur, ior_next)
-    reflect_w = fresnel_reflectance(direction, hit_normal, ior_cur, ior_next)
-    new_rng, r01 = rnglib.rand01_masked(new_rng, is_glassy)
-    will_reflect = r01 < reflect_w
-    dir_glassy = jnp.where(will_reflect[:, None], reflect_dir, refract_dir)
-    glassy_w = jnp.where(will_reflect, reflect_w, 1.0 - reflect_w)
-
-    new_dir = jnp.where(
-        is_glassy[:, None],
-        dir_glassy,
-        jnp.where(mask_cs[:, None], dir_cs, direction),
-    )
-    throughput_new = throughput * jnp.where(is_glassy, glassy_w, 1.0)[:, None]
-
-    # --- Common tail (Trace.cl:574-591) ---
-    emission = em_color * em_strength[:, None]
-    light_new = light + jnp.where(scatter[:, None], throughput_new * emission, 0.0)
-    origin_new = jnp.where(
-        scatter[:, None], hit_point + new_dir * EPSILON, origin
-    )
-    origin_new = jnp.where(
-        invisible[:, None], hit_point + direction * EPSILON, origin_new
-    )
-    throughput_new = throughput_new * jnp.where(scatter[:, None], color, 1.0)
-
-    # Russian roulette after bounce 3 (Trace.cl:583-590).
-    p = jnp.max(throughput_new, axis=-1)
-    rr = scatter & (bounces > 3)
-    q = jnp.maximum(0.05, 1.0 - p)
-    new_rng, r01_rr = rnglib.rand01_masked(new_rng, rr)
-    killed = rr & (r01_rr < q)
-    throughput_new = jnp.where(
-        (rr & ~killed)[:, None], throughput_new / (1.0 - q)[:, None], throughput_new
-    )
-
-    bounces_new = bounces + scatter.astype(jnp.int32)
-    continuing = a_hit & ~killed & (bounces_new < max_bounces)
-    # Invisible lanes stay continuing without spending a bounce; miss
-    # lanes (enabled & ~hit_valid) break (Trace.cl:497-501).
-
-    e3 = enabled[:, None]
     return ShadeResult(
-        origin=jnp.where(e3, origin_new, origin),
-        direction=jnp.where(scatter[:, None], new_dir, direction),
-        throughput=jnp.where(e3, throughput_new, throughput),
-        light=jnp.where(e3, light_new, light),
-        rng=new_rng,  # masked draws already froze non-participating lanes
-        bounces=jnp.where(enabled, bounces_new, bounces),
-        continuing=continuing,
-        invisible=invisible,
+        origin=v3lib.to_rows(res.origin),
+        direction=v3lib.to_rows(res.direction),
+        throughput=v3lib.to_rows(res.throughput),
+        light=v3lib.to_rows(res.light),
+        rng=res.rng,
+        bounces=res.bounces,
+        continuing=res.continuing,
+        invisible=res.invisible,
     )
