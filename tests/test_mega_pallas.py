@@ -1,0 +1,69 @@
+"""Fused Pallas megakernel body vs the XLA body (interpret mode, CPU).
+
+mega_body="pallas" runs the identical _body_math transcription inside
+one pl.pallas_call per loop iteration (render/mega_pallas.py); in
+interpret mode it must be BITWISE identical to the XLA body. (On the
+real chip the compiled Mosaic kernel also measured bit-identical on
+bunny batches — probed, not asserted here.)
+
+mega_body="auto" resolves to "xla" off-TPU, so the default config never
+routes CPU runs through interpret mode.
+"""
+
+import numpy as np
+
+from tpurt.config import RenderConfig
+from tpurt.render.renderer import render_frame
+from tpurt.scene.presets import default_scene
+
+
+def _cfg(**kw):
+    # Interpret mode replays the whole body per loop iteration in
+    # numpy — keep the workload tiny (a few dozen iterations).
+    base = dict(width=16, height=8, rays_per_pixel=1, max_bounces=3,
+                tile_size=16, object_path="sphere0.obj", engine="mega",
+                rays_per_batch=128, compaction_threshold=0)
+    base.update(kw)
+    return RenderConfig(**base)
+
+
+def test_pallas_body_matches_xla_bitwise():
+    cfg_x = _cfg(mega_body="xla")
+    scene, cam, _ = default_scene(cfg_x)
+    ref = render_frame(scene, cam, cfg_x)
+    out = render_frame(scene, cam, _cfg(mega_body="pallas"))
+    assert np.array_equal(ref, out)
+
+
+def test_pixel_quota_matches_plain_bitwise():
+    """pixels_per_lane > 1 (in-body pixel advance: camera ray, seed,
+    cache reset computed inside the loop) must be bitwise-identical to
+    the plain one-pixel-per-lane flat path and the tile sweep."""
+    cfg_plain = _cfg(width=40, height=24, rays_per_pixel=2, max_bounces=4,
+                     rays_per_batch=960)
+    scene, cam, _ = default_scene(cfg_plain)
+    ref = render_frame(scene, cam, cfg_plain)
+    for p in (2, 4):
+        cfg_q = _cfg(width=40, height=24, rays_per_pixel=2, max_bounces=4,
+                     rays_per_batch=960 // p, pixels_per_lane=p)
+        out = render_frame(scene, cam, cfg_q)
+        assert np.array_equal(ref, out), p
+    # quota batches that don't divide the frame (padding + clamp path)
+    cfg_q = _cfg(width=40, height=24, rays_per_pixel=2, max_bounces=4,
+                 rays_per_batch=256, pixels_per_lane=3)
+    assert np.array_equal(ref, render_frame(scene, cam, cfg_q))
+
+
+def test_auto_resolves_to_xla_off_tpu():
+    import jax
+
+    from tpurt.render.megakernel import run_megakernel  # noqa: F401
+
+    assert jax.devices()[0].platform == "cpu"
+    # No assertion on internals needed: rendering with "auto" must be
+    # bitwise-equal to "xla" on CPU (and not crawl through interpret
+    # mode — the runtime difference would time the suite out if it did).
+    cfg_a = _cfg(mega_body="auto")
+    scene, cam, _ = default_scene(cfg_a)
+    ref = render_frame(scene, cam, _cfg(mega_body="xla"))
+    assert np.array_equal(ref, render_frame(scene, cam, cfg_a))

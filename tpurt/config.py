@@ -85,6 +85,18 @@ class RenderConfig:
     #: render as ceil(W*H / rays_per_batch) flat launches.
     rays_per_batch: int = 262144
 
+    #: Pixels each megakernel lane renders sequentially (flat path
+    #: only). One flat launch covers rays_per_batch * pixels_per_lane
+    #: pixels: lane i owns pixels start+i, start+i+B, ... (stride B).
+    #: A lane that finishes a pixel's samples advances to its next
+    #: pixel in-loop (primary ray + seed recomputed in the kernel), so
+    #: fast lanes keep working while slow ones traverse — measured to
+    #: cut idle-tail iterations ~2x on the bunny ladder (the tail of a
+    #: quota batch is one straggler set instead of pixels_per_lane of
+    #: them, and per-lane work variance averages down). Bitwise-
+    #: identical to pixels_per_lane=1 (tests/test_mega_pallas.py).
+    pixels_per_lane: int = 1
+
     #: Lane-compaction threshold for the megakernel (single-chip path):
     #: tiles with at least this many pixels run in host-driven stages —
     #: a capped main stage, then the surviving (slowest) lanes compact
@@ -97,6 +109,17 @@ class RenderConfig:
     #: the readable nested-loop engine used as its cross-check. Both are
     #: bit-exact against the scalar oracle and each other.
     engine: str = "mega"
+
+    #: Megakernel loop-body backend. ``"xla"`` runs the per-iteration
+    #: lane math as XLA ops (the parity anchor, bit-exact vs the scalar
+    #: oracle). ``"pallas"`` fuses the whole body into one Mosaic kernel
+    #: per iteration (render/mega_pallas.py) — measured necessary on TPU
+    #: because XLA leaves the body's elementwise chains unfused: on the
+    #: v5e the same bunny batch ran 5585 us/iter (XLA) vs 2372 us/iter
+    #: (Pallas), bit-identical outputs (incl. transcendentals).
+    #: ``"auto"`` (default) picks pallas on TPU backends and xla
+    #: elsewhere. Ignored with subpixel_jitter (falls back to "xla").
+    mega_body: str = "auto"
 
     #: Dense-sweep backend for brute-force intersection (modular engine
     #: + fused static pass). ``"exact"`` is the broadcast VPU form,
@@ -119,10 +142,14 @@ class RenderConfig:
             raise ValueError(f"unknown engine: {self.engine!r}")
         if self.dense_engine not in ("exact", "plucker", "pallas"):
             raise ValueError(f"unknown dense_engine: {self.dense_engine!r}")
+        if self.mega_body not in ("auto", "xla", "pallas"):
+            raise ValueError(f"unknown mega_body: {self.mega_body!r}")
         if self.width <= 0 or self.height <= 0:
             raise ValueError("image dimensions must be positive")
         if self.rays_per_pixel <= 0:
             raise ValueError("rays_per_pixel must be positive")
+        if self.pixels_per_lane < 1:
+            raise ValueError("pixels_per_lane must be >= 1")
         # Reference clamps tile size into [1, min(W, H)] (src/main.cpp:230-234).
         object.__setattr__(
             self, "tile_size", max(1, min(self.tile_size, self.width, self.height))

@@ -52,12 +52,23 @@ def _u32(x) -> jnp.ndarray:
     return jnp.asarray(x, dtype=_U32)
 
 
+def u32_to_f32_exact(s: jnp.ndarray) -> jnp.ndarray:
+    """uint32 -> float32 with the same round-to-nearest as a direct
+    convert, but WITHOUT a u32->f32 cast op: Mosaic on this TPU backend
+    cannot lower that cast, so the value goes through two exact i32
+    halves (hi*2^16 is exact in f32 and the final add rounds once —
+    bit-identical to the direct conversion)."""
+    lo = (s & _u32(0xFFFF)).astype(jnp.int32).astype(jnp.float32)
+    hi = (s >> _u32(16)).astype(jnp.int32).astype(jnp.float32)
+    return hi * jnp.float32(65536.0) + lo
+
+
 def u32_to_unit_float(s: jnp.ndarray) -> jnp.ndarray:
     """SafelyMapU32ToFloat: (s+1)/2^32 in float32 (Trace.cl:158-161).
 
     Keeps the reference's wrap quirk: s == 0xFFFFFFFF maps to exactly 0.
     """
-    return (s + _u32(1)).astype(jnp.float32) * jnp.float32(1.0 / 4294967296.0)
+    return u32_to_f32_exact(s + _u32(1)) * jnp.float32(1.0 / 4294967296.0)
 
 
 def lcg_step(state: jnp.ndarray) -> jnp.ndarray:

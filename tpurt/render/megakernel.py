@@ -1,11 +1,10 @@
 """Persistent-lane megakernel integrator over a 16-wide BVH.
 
 The TPU fast path. Measured physics of this backend (see
-notes/tpu_measurements.md): the gather engine delivers ~110M rows/s at
-65k lanes (~207M at 262k) INDEPENDENT of row width up to 160 f32, and
-every while_loop iteration costs a fixed ~0.1-0.4 ms on top. The
-binding constraint is therefore (LOOP ITERATIONS) == (ROWS GATHERED
-PER LANE), which drives the design:
+notes/tpu_measurements.md): the row gather costs a fixed ~16-35 ns per
+lane INDEPENDENT of row width (20..160 f32) and table size, and every
+while_loop iteration adds a fixed sync cost — so the binding constraint
+is (LOOP ITERATIONS) x (LANES), which drives the design:
 
   * ONE while_loop for the whole renderer. Each lane owns its entire
     task — pixel, sample loop, bounce loop, mesh chain, BVH cursor — as
@@ -33,6 +32,13 @@ PER LANE), which drives the design:
     16.5 ms/iteration AoS vs ~1.7 ms SoA at 65k lanes. The one (R, W)
     array per iteration (the gathered row) is transposed to (W, R)
     immediately so every column slice is a contiguous (R,) vector.
+  * ACCESSOR-INDIRECTED BODY. Everything after the gather lives in
+    ``_body_math``, which reads row columns through ``col(j)``, static
+    triangles through ``srows[s, j]``, and chain/material constants
+    through packed little tables supporting scalar ``[i, c]`` reads —
+    the same transcription therefore runs as XLA ops (jnp arrays, the
+    parity anchor) or inside one fused Pallas kernel (refs), without a
+    second copy of the algorithm.
 
 Chain/shade structure and parity are as before: OneSided meshes keep
 per-mesh rejection (Trace.cl:466-471; single-quad OneSided meshes may
@@ -62,7 +68,7 @@ from tpurt.core import rng as rnglib
 from tpurt.core import v3 as v3lib
 from tpurt.core.v3 import V3
 from tpurt.core.vecmath import euler_rotation
-from tpurt.render.shading import shade_hit_soa
+from tpurt.render.shading import pack_materials, shade_hit_soa
 from tpurt.scene.builder import MEGA_ARITY, MEGA_LEAF_TRIS, MEGA_SLOT_BITS
 from tpurt.scene.types import MaterialType, Scene
 
@@ -77,6 +83,17 @@ _EMPTY = np.uint32(0xFFFFFFFF)
 _SLOT_MASK = np.uint32((1 << MEGA_SLOT_BITS) - 1)
 _EPS = np.float32(EPSILON)
 
+# Packed chain-parameter table columns (one (E, 21) f32 matrix so both
+# jnp arrays and Pallas SMEM refs serve the same scalar reads).
+_CP_POS = 0  # 3 columns
+_CP_ROT = 3  # 9 columns, row-major: rot[i][j] at 3 + 3*i + j
+_CP_SCALE = 12
+_CP_OS = 13  # one_sided as 0.0/1.0
+_CP_CULL = 14  # backface-cull policy as 0.0/1.0
+_CP_RMIN = 15  # 3 columns
+_CP_RMAX = 18  # 3 columns
+CP_WIDTH = 21
+
 
 class _Lane(NamedTuple):
     # diagnostics
@@ -85,10 +102,14 @@ class _Lane(NamedTuple):
     # COMPACTED: a shrunken batch must carry its own primary rays/seeds)
     ro0: V3  # primary origin
     rd0: V3  # primary direction
-    pix: jnp.ndarray  # (R,) u32 pixel index
+    pix: jnp.ndarray  # (R,) u32 pixel index (CURRENT pixel in quota mode)
+    pixno: jnp.ndarray  # (R,) i32 — index of the current pixel in the
+    #   lane's quota (0..pixels_per_lane-1); always 0 when quota == 1
     # sample machinery
     sample: jnp.ndarray  # (R,) i32
-    acc: V3
+    acc: V3  # current pixel's radiance accumulator
+    accs: Tuple[V3, ...]  # per-quota-slot banked accumulators (empty
+    #   when quota == 1: the single pixel's result stays in ``acc``)
     rng: jnp.ndarray  # (R,) u32
     done: jnp.ndarray  # (R,) bool
     segments: jnp.ndarray  # (R,) i32
@@ -130,117 +151,123 @@ class _Lane(NamedTuple):
 
 
 class _ChainParams(NamedTuple):
-    """Per-entry transform/material constants, component-sliced so every
-    per-lane select is an (R,) op."""
+    """Per-entry transform/material constants: one packed (E, 21) f32
+    table (scalar [e, c] reads work on jnp arrays and Pallas refs) plus
+    build-time-static row targets."""
 
+    table: jnp.ndarray  # (E, CP_WIDTH) f32
     root: Tuple[int, ...]  # static row indices
     root_leaf: Tuple[bool, ...]
     mesh: Tuple[int, ...]  # static mesh ids (-1 = fused static entry)
-    pos: Tuple[jnp.ndarray, ...]  # 3 x (E,)
-    rot: Tuple[Tuple[jnp.ndarray, ...], ...]  # 3 x 3 x (E,) — rot[i][j]
-    scale: jnp.ndarray  # (E,)
-    one_sided: jnp.ndarray  # (E,) bool
-    cull: jnp.ndarray  # (E,) bool backface-cull policy (mesh entries)
-    rmin: Tuple[jnp.ndarray, ...]  # 3 x (E,) local root bounds (pretest)
-    rmax: Tuple[jnp.ndarray, ...]
 
 
 def _chain_params(scene: Scene) -> _ChainParams:
-    pos_l, rot_l, scale_l, os_l, cull_l = [], [], [], [], []
-    rmin_l, rmax_l = [], []
+    rows = []
     for mesh_idx, _root, _leaf in scene.mega_chain:
         if mesh_idx < 0:  # fused static entry: identity transform
-            # numpy constants on purpose — see tpurt.core.rng._u32
-            pos_l.append(np.zeros((3,), np.float32))
-            rot_l.append(np.eye(3, dtype=np.float32))
-            scale_l.append(np.float32(1.0))
-            os_l.append(np.asarray(False))
-            cull_l.append(np.asarray(True))  # unused; per-tri cull applies
-            rmin_l.append(np.full((3,), -_INF, np.float32))
-            rmax_l.append(np.full((3,), _INF, np.float32))
+            rows.append(jnp.asarray(
+                [0.0, 0.0, 0.0,  # pos
+                 1.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 1.0,  # rot
+                 1.0,  # scale
+                 0.0,  # one_sided
+                 1.0,  # cull (unused; per-tri cull applies)
+                 -_INF, -_INF, -_INF, _INF, _INF, _INF],  # rmin/rmax
+                dtype=jnp.float32,
+            ))
         else:
             i = mesh_idx
-            pos_l.append(scene.mesh_pos[i])
-            rot_l.append(
-                euler_rotation(
-                    scene.mesh_pitch[i], scene.mesh_yaw[i], scene.mesh_roll[i]
-                )
-            )
-            scale_l.append(scene.mesh_scale[i])
+            rot = euler_rotation(
+                scene.mesh_pitch[i], scene.mesh_yaw[i], scene.mesh_roll[i]
+            ).reshape(9)
             mt = scene.mat_type[i]
-            os_l.append(mt == int(MaterialType.ONE_SIDED))
-            cull_l.append(
+            one_sided = (mt == int(MaterialType.ONE_SIDED)).astype(_F32)
+            cull = (
                 (mt != int(MaterialType.GLASSY))
                 & (mt != int(MaterialType.INVISIBLE))
                 & (mt != int(MaterialType.ONE_SIDED))
-            )
+            ).astype(_F32)
             # Local-space root bounds from the mesh's uint16 quant grid
             # (it spans exactly the binary-BVH root box).
-            rmin_l.append(scene.mesh_qmin[i])
-            rmax_l.append(
-                scene.mesh_qmin[i] + np.float32(65535.0) * scene.mesh_qscale[i]
-            )
-    pos = jnp.stack(pos_l)  # (E, 3)
-    rot = jnp.stack(rot_l)  # (E, 3, 3)
-    rmin = jnp.stack(rmin_l)
-    rmax = jnp.stack(rmax_l)
+            rmin = scene.mesh_qmin[i]
+            rmax = scene.mesh_qmin[i] + np.float32(65535.0) * scene.mesh_qscale[i]
+            rows.append(jnp.concatenate([
+                scene.mesh_pos[i], rot,
+                scene.mesh_scale[i][None], one_sided[None], cull[None],
+                rmin, rmax,
+            ]))
     return _ChainParams(
+        table=jnp.stack(rows),
         root=tuple(r for _, r, _ in scene.mega_chain),
         root_leaf=tuple(l for _, _, l in scene.mega_chain),
         mesh=tuple(m for m, _, _ in scene.mega_chain),
-        pos=tuple(pos[:, c] for c in range(3)),
-        rot=tuple(tuple(rot[:, i, j] for j in range(3)) for i in range(3)),
-        scale=jnp.stack(scale_l),
-        one_sided=jnp.stack(os_l),
-        cull=jnp.stack(cull_l),
-        rmin=tuple(rmin[:, c] for c in range(3)),
-        rmax=tuple(rmax[:, c] for c in range(3)),
     )
 
 
-def _sel(table: jnp.ndarray, entry: jnp.ndarray, e_count: int) -> jnp.ndarray:
-    """Gather-free per-lane select of an (E,) table by entry index ->
-    (R,)."""
-    out = jnp.zeros(entry.shape, table.dtype)
+
+def _bool_full(shape, value: bool) -> jnp.ndarray:
+    """Lane-shaped bool constant built from an i32 compare: Mosaic
+    cannot lower a bool-dtype splat (it materialises i8 then truncates
+    i8->i1, which is unsupported), so constants go through icmp."""
+    z = jnp.zeros(shape, jnp.int32)
+    return (z == 0) if value else (z != 0)
+
+
+def _bsel(c, a, b):
+    """where(c, a, b) for BOOL payloads as pure i1 logic: Mosaic cannot
+    lower a select whose results are i1 vectors (it widens through i8
+    and dies on the i8->i1 truncation)."""
+    return (c & a) | (~c & b)
+
+def _sel(table, entry: jnp.ndarray, e_count: int, col: int) -> jnp.ndarray:
+    """Gather-free per-lane select of table[:, col] by entry index ->
+    lane-shaped f32."""
+    out = jnp.zeros(entry.shape, _F32)
     for i in range(e_count):
-        out = jnp.where(entry == i, table[i], out)
+        out = jnp.where(entry == i, table[i, col], out)
     return out
 
 
-def _sel_v3(tables, entry: jnp.ndarray, e_count: int) -> V3:
+def _sel_v3(table, entry: jnp.ndarray, e_count: int, col: int) -> V3:
     return V3(
-        _sel(tables[0], entry, e_count),
-        _sel(tables[1], entry, e_count),
-        _sel(tables[2], entry, e_count),
+        _sel(table, entry, e_count, col),
+        _sel(table, entry, e_count, col + 1),
+        _sel(table, entry, e_count, col + 2),
     )
 
 
 def _sel_static(values, entry: jnp.ndarray, e_count: int, dtype) -> jnp.ndarray:
+    if dtype is bool:
+        # Pure i1 logic (no bool-scalar where — Mosaic cannot splat i1).
+        out = _bool_full(entry.shape, False)
+        for i in range(e_count):
+            if bool(values[i]):
+                out = out | (entry == i)
+        return out
     out = jnp.zeros(entry.shape, dtype)
     for i in range(e_count):
         out = jnp.where(entry == i, jnp.asarray(values[i], dtype), out)
     return out
 
 
-def _rot_fwd(rot, entry, e_count: int, v: V3) -> V3:
+def _rot_fwd(table, entry, e_count: int, v: V3) -> V3:
     """out_i = sum_j rot[i][j] * v_j (mul_mat_vec, Trace.cl:105-107),
-    accumulated j = 0, 1, 2 like the einsum it replaces."""
+    accumulated j = 0, 1, 2 like the einsum it replaced."""
     out = []
     for i in range(3):
-        r0 = _sel(rot[i][0], entry, e_count)
-        r1 = _sel(rot[i][1], entry, e_count)
-        r2 = _sel(rot[i][2], entry, e_count)
+        r0 = _sel(table, entry, e_count, _CP_ROT + 3 * i)
+        r1 = _sel(table, entry, e_count, _CP_ROT + 3 * i + 1)
+        r2 = _sel(table, entry, e_count, _CP_ROT + 3 * i + 2)
         out.append(r0 * v.x + r1 * v.y + r2 * v.z)
     return V3(*out)
 
 
-def _rot_t(rot, entry, e_count: int, v: V3) -> V3:
+def _rot_t(table, entry, e_count: int, v: V3) -> V3:
     """out_i = sum_j rot[j][i] * v_j (transposed apply)."""
     out = []
     for i in range(3):
-        r0 = _sel(rot[0][i], entry, e_count)
-        r1 = _sel(rot[1][i], entry, e_count)
-        r2 = _sel(rot[2][i], entry, e_count)
+        r0 = _sel(table, entry, e_count, _CP_ROT + i)
+        r1 = _sel(table, entry, e_count, _CP_ROT + 3 + i)
+        r2 = _sel(table, entry, e_count, _CP_ROT + 6 + i)
         out.append(r0 * v.x + r1 * v.y + r2 * v.z)
     return V3(*out)
 
@@ -248,11 +275,12 @@ def _rot_t(rot, entry, e_count: int, v: V3) -> V3:
 def _enter(params: _ChainParams, e_count: int, entry, origin: V3, direction: V3):
     """WorldToLocalRay (Trace.cl:118-137) for each lane's chain entry."""
     entry_c = jnp.minimum(entry, e_count - 1)
-    pos = _sel_v3(params.pos, entry_c, e_count)
-    scale = _sel(params.scale, entry_c, e_count)
+    tab = params.table
+    pos = _sel_v3(tab, entry_c, e_count, _CP_POS)
+    scale = _sel(tab, entry_c, e_count, _CP_SCALE)
     safe = jnp.where(jnp.abs(scale) > _EPS, scale, _F32(1.0))
-    lo = _rot_t(params.rot, entry_c, e_count, origin - pos) / safe
-    ld = v3lib.normalize(_rot_t(params.rot, entry_c, e_count, direction) / safe)
+    lo = _rot_t(tab, entry_c, e_count, origin - pos) / safe
+    ld = v3lib.normalize(_rot_t(tab, entry_c, e_count, direction) / safe)
     root = _sel_static(params.root, entry_c, e_count, jnp.int32)
     root_leaf = _sel_static(params.root_leaf, entry_c, e_count, bool)
     return lo, ld, V3(1.0 / ld.x, 1.0 / ld.y, 1.0 / ld.z), root, root_leaf
@@ -283,80 +311,93 @@ def _mt_core(lo: V3, ld: V3, pa: V3, pb: V3, pc: V3, na: V3, nb: V3, nc: V3,
         na.z * w + nb.z * u + nc.z * v,
     ))
     backface = v3lib.dot(ld, n) > _EPS
-    ok &= ~(cull & backface)
+    if isinstance(cull, bool):  # trace-time-static policy (static stage)
+        if cull:
+            ok &= ~backface
+    else:
+        ok &= ~(cull & backface)
     n = v3lib.where(backface, -n, n)
     return ok, t, n, backface
 
 
-def _col_v3(rowt: jnp.ndarray, base: int) -> V3:
-    """Three adjacent columns of the transposed row bank -> V3 of (R,)."""
-    return V3(rowt[base], rowt[base + 1], rowt[base + 2])
-
-
-def _mt_inline(lo: V3, ld: V3, rowt, base, cull):
-    """MT against an inline triangle slot of a (transposed) leaf row;
-    returns the owner-mesh aux word too."""
-    pa = _col_v3(rowt, base)
-    pb = _col_v3(rowt, base + 3)
-    pc = _col_v3(rowt, base + 6)
-    na = _col_v3(rowt, base + 9)
-    nb = _col_v3(rowt, base + 12)
-    nc = _col_v3(rowt, base + 15)
-    aux = lax.bitcast_convert_type(rowt[base + 18], jnp.int32)
-    ok, t, n, backface = _mt_core(lo, ld, pa, pb, pc, na, nb, nc, cull)
+def _mt_inline(lo: V3, ld: V3, col, base, cull):
+    """MT against an inline triangle slot of a leaf row read through the
+    ``col`` accessor; returns the owner-mesh aux word too."""
+    cv = lambda b: V3(col(b), col(b + 1), col(b + 2))
+    aux = lax.bitcast_convert_type(col(base + 18), jnp.int32)
+    ok, t, n, backface = _mt_core(
+        lo, ld, cv(base), cv(base + 3), cv(base + 6),
+        cv(base + 9), cv(base + 12), cv(base + 15), cull,
+    )
     return ok, t, n, backface, aux
 
 
-def _mt_static(lo: V3, ld: V3, row19, cull: bool):
-    """Exact MT of all lanes against ONE static triangle (a (19,) traced
-    row broadcast over lanes); same op order as _mt_single."""
-    c = lambda b: V3(row19[b], row19[b + 1], row19[b + 2])
-    return _mt_core(
-        lo, ld, c(0), c(3), c(6), c(9), c(12), c(15), jnp.asarray(cull)
-    )
+def _static_cull(mats, num_meshes: int, owner: jnp.ndarray) -> jnp.ndarray:
+    """Backface-cull policy by owner mesh id (cull unless
+    Glassy/Invisible/OneSided, Trace.cl:460-462)."""
+    from tpurt.render.shading import MAT_TYPE
+
+    # The policy rides as f32 0/1 through the select chain: broadcasting
+    # a SCALAR bool into a lane vector makes Mosaic splat i8 and
+    # truncate i8->i1, which it cannot lower. f32 broadcasts are fine.
+    cull_f = jnp.ones(owner.shape, _F32)
+    for i in range(num_meshes):
+        mt = mats[i, MAT_TYPE]
+        c = (
+            (mt != float(int(MaterialType.GLASSY)))
+            & (mt != float(int(MaterialType.INVISIBLE)))
+            & (mt != float(int(MaterialType.ONE_SIDED)))
+        ).astype(_F32)
+        cull_f = jnp.where(owner == i, c, cull_f)
+    return cull_f != 0.0
 
 
-def _static_stage(scene: Scene, enabled, origin: V3, direction: V3):
-    """Dense MT of the inline static triangles (Scene.mega_static_rows)
-    for lanes with a fresh ray; returns the seeded world-space best
-    (valid, dst, point, normal, back, mesh) exactly as the old fused
-    static chain entry would have produced it.
+def _static_stage(srows, s_cull, s_onesided, s_owner, mats,
+                  num_meshes: int, enabled, origin: V3, direction: V3):
+    """Dense MT of the inline static triangles (Scene.mega_static_rows,
+    read through scalar ``srows[s, j]`` accesses) for lanes with a fresh
+    ray; returns the seeded world-space best (valid, dst, point, normal,
+    back, mesh) exactly as the old fused static chain entry would have
+    produced it.
 
     Identity WorldToLocalRay still renormalises the direction
     (Trace.cl:130); replicated so distances stay bit-identical to the
     oracle. Candidates fold in mesh/index order with strict <, matching
     the reference's per-mesh loop order."""
-    s_count = len(scene.mega_static_cull)
-    r = enabled.shape[0]
-    zeros = jnp.zeros((r,), _F32)
+    s_count = len(s_cull)
+    zeros = jnp.zeros(enabled.shape, _F32)
     zero3 = V3(zeros, zeros, zeros)
-    falses = jnp.zeros((r,), bool)
+    falses = _bool_full(enabled.shape, False)
     if s_count == 0:
         return (
-            falses, jnp.full((r,), _INF, _F32), zero3, zero3, falses,
-            jnp.zeros((r,), jnp.int32) - 1,
+            falses, jnp.full(enabled.shape, _INF, _F32), zero3, zero3, falses,
+            jnp.zeros(enabled.shape, jnp.int32) - 1,
         )
 
     ld = v3lib.normalize(direction)
-    lt = jnp.full((r,), _INF, _F32)
+    lt = jnp.full(enabled.shape, _INF, _F32)
     lnrm = zero3
     lback = falses
-    lmesh = jnp.zeros((r,), jnp.int32) - 1
+    lmesh = jnp.zeros(enabled.shape, jnp.int32) - 1
     for s_idx in range(s_count):
-        row19 = scene.mega_static_rows[s_idx]
-        ok, t, n, backface = _mt_static(
-            origin, ld, row19, bool(scene.mega_static_cull[s_idx])
+        cv = lambda b: V3(srows[s_idx, b], srows[s_idx, b + 1],
+                          srows[s_idx, b + 2])
+        ok, t, n, backface = _mt_core(
+            origin, ld, cv(0), cv(3), cv(6), cv(9), cv(12), cv(15),
+            bool(s_cull[s_idx]),
         )
         # OneSided candidate rejection (equivalent to the reference's
         # per-mesh rejection for planar quads; builder guarantees only
         # those are inlined).
-        if scene.mega_static_onesided[s_idx]:
+        if s_onesided[s_idx]:
             ok &= ~backface
-        owner = lax.bitcast_convert_type(row19[18], jnp.int32)
+        # Owner rides as static metadata (mega_static_owner) so no
+        # scalar bitcast is needed (Mosaic cannot lower one).
+        owner = np.int32(s_owner[s_idx])
         win = enabled & ok & (t < lt)
         lt = jnp.where(win, t, lt)
         lnrm = v3lib.where(win, n, lnrm)
-        lback = jnp.where(win, backface, lback)
+        lback = _bsel(win, backface, lback)
         lmesh = jnp.where(win, owner, lmesh)
 
     valid = enabled & (lmesh >= 0)
@@ -371,22 +412,6 @@ def _static_stage(scene: Scene, enabled, origin: V3, direction: V3):
         valid & lback,
         jnp.where(valid, lmesh, -1),
     )
-
-
-def _static_cull(scene: Scene, owner: jnp.ndarray) -> jnp.ndarray:
-    """Backface-cull policy by owner mesh id (cull unless
-    Glassy/Invisible/OneSided, Trace.cl:460-462)."""
-    k = scene.num_meshes
-    cull = jnp.ones(owner.shape, bool)
-    for i in range(k):
-        mt = scene.mat_type[i]
-        c = (
-            (mt != int(MaterialType.GLASSY))
-            & (mt != int(MaterialType.INVISIBLE))
-            & (mt != int(MaterialType.ONE_SIDED))
-        )
-        cull = jnp.where(owner == i, c, cull)
-    return cull
 
 
 def _aabb_soa(lo: V3, lid: V3, bmin: V3, bmax: V3, limit):
@@ -412,12 +437,411 @@ def _aabb_soa(lo: V3, lid: V3, bmin: V3, bmax: V3, limit):
 def _pretest(params, e_count: int, entry, lo: V3, lid: V3, w_dst):
     """Root pretest: slab the entry's local root box against the bound."""
     entry_c = jnp.minimum(entry, e_count - 1)
-    scale = _sel(params.scale, entry_c, e_count)
+    tab = params.table
+    scale = _sel(tab, entry_c, e_count, _CP_SCALE)
     safe = jnp.where(jnp.abs(scale) > _EPS, scale, _F32(1.0))
-    rmin = _sel_v3(params.rmin, entry_c, e_count)
-    rmax = _sel_v3(params.rmax, entry_c, e_count)
+    rmin = _sel_v3(tab, entry_c, e_count, _CP_RMIN)
+    rmax = _sel_v3(tab, entry_c, e_count, _CP_RMAX)
     ok, _ = _aabb_soa(lo, lid, rmin, rmax, w_dst / safe * _F32(1.001))
     return ok
+
+
+def _body_math(
+    s: _Lane,
+    col,  # col(j) -> lane-shaped f32 column of the gathered row (or None)
+    srows,  # static triangle rows, scalar [s, j] reads
+    mats,  # (K, 11) packed materials, scalar [i, c] reads
+    params: _ChainParams,
+    slot_rays,  # tuple of (V3, V3) per quota slot (len p_count; () if 1)
+    frame_index,
+    sample_offset,
+    primary_ray_fn,  # (ro0, rd0, pix, sample_u) -> (V3, V3)
+    *,
+    e_count: int,
+    s_depth: int,
+    num_meshes: int,
+    s_cull,
+    s_onesided,
+    s_owner,
+    max_bounces: int,
+    rays_per_pixel: int,
+    seed_mode: str,
+    invisible_budget: int,
+    use_cache: bool,
+    p_count: int = 1,
+    pixel_stride: int = 0,
+    width: int = 0,
+    height: int = 0,
+) -> _Lane:
+    """One megakernel iteration AFTER the row gather: traversal step,
+    chain fold, shade, sample bookkeeping, next-entry setup. Pure
+    elementwise lane math — runs identically over (R,) jnp arrays (XLA
+    while_loop body) or Pallas-ref-backed blocks. Does NOT advance
+    ``iters`` (the caller owns the loop counter)."""
+    lanes = s.cur.shape
+    zeros = jnp.zeros(lanes, _F32)
+    zero3 = V3(zeros, zeros, zeros)
+    zeros_i = jnp.zeros(lanes, jnp.int32)
+    falses = _bool_full(lanes, False)
+    empty_slot = jnp.full(lanes, _EMPTY, jnp.uint32)
+
+    def seed_for(p_pix, sample_id):
+        if seed_mode == "reference":
+            return rnglib.make_seed(p_pix, frame_index, 0)
+        return rnglib.make_seed(
+            p_pix, frame_index, sample_id + jnp.uint32(sample_offset)
+        )
+
+    # ---------------- TRAVERSE: consume the gathered row --------------
+    if e_count:
+        trav = ~s.done & (s.entry < e_count) & (s.cur >= 0)
+
+        entry_c = jnp.minimum(s.entry, e_count - 1)
+        scale_e = _sel(params.table, entry_c, e_count, _CP_SCALE)
+        safe_e = jnp.where(jnp.abs(scale_e) > _EPS, scale_e, _F32(1.0))
+        limit = jnp.minimum(s.lt, s.w_dst / safe_e * _F32(1.001))
+
+        # --- leaf branch: inline exact MT tests -------------------
+        leaf_on = trav & s.cur_leaf
+        entry_mesh = _sel_static(params.mesh, entry_c, e_count, jnp.int32)
+        is_static = entry_mesh < 0
+        cull_mesh_e = _sel(params.table, entry_c, e_count, _CP_CULL) != 0.0
+        lt, lnrm, lback, lmesh = s.lt, s.lnrm, s.lback, s.lmesh
+        for k in range(MEGA_LEAF_TRIS):
+            aux_raw = lax.bitcast_convert_type(col(19 * k + 18), jnp.int32)
+            cull = _bsel(
+                is_static, _static_cull(mats, num_meshes, aux_raw),
+                cull_mesh_e,
+            )
+            ok, t, n, backface, aux = _mt_inline(s.lo, s.ld, col, 19 * k, cull)
+            cand_mesh = jnp.where(is_static, aux, entry_mesh)
+            win = leaf_on & ok & (t < lt)
+            lt = jnp.where(win, t, lt)
+            lnrm = v3lib.where(win, n, lnrm)
+            lback = _bsel(win, backface, lback)
+            lmesh = jnp.where(win, cand_mesh, lmesh)
+
+        # --- node branch: test MEGA_ARITY quantised children -------
+        # Children are build-sorted along the node's widest axis
+        # (row[6]); visiting them in direction-signed PRIORITY order
+        # (forward when the local ray points up the axis, reversed
+        # otherwise) makes near children test first, so the distance
+        # bound prunes far siblings. cur_slot is a priority threshold
+        # for resuming a popped node.
+        node_on = trav & ~s.cur_leaf
+        grid_o = V3(col(0), col(1), col(2))
+        grid_s = V3(col(3), col(4), col(5))
+        sort_axis = lax.bitcast_convert_type(col(6), jnp.int32)
+        dcomp = jnp.where(
+            sort_axis == 0, s.ld.x,
+            jnp.where(sort_axis == 1, s.ld.y, s.ld.z),
+        )
+        fwd = dcomp >= 0.0
+        best_prio = jnp.full(lanes, MEGA_ARITY, jnp.int32)
+        first_meta = zeros_i
+        hit_count = zeros_i
+        m8 = np.uint32(0xFF)
+        for slot in range(MEGA_ARITY):
+            base = 7 + 3 * slot
+            w0 = lax.bitcast_convert_type(col(base), jnp.uint32)
+            w1 = lax.bitcast_convert_type(col(base + 1), jnp.uint32)
+            meta = lax.bitcast_convert_type(col(base + 2), jnp.int32)
+            # u32 -> i32 -> f32 (values are bytes; Mosaic cannot lower a
+            # direct u32 -> f32 cast — see rng.u32_to_f32_exact).
+            b2f = lambda v: v.astype(jnp.int32).astype(_F32)
+            q_lo = V3(
+                b2f(w0 & m8),
+                b2f((w0 >> np.uint32(8)) & m8),
+                b2f((w0 >> np.uint32(16)) & m8),
+            )
+            q_hi = V3(
+                b2f((w0 >> np.uint32(24)) & m8),
+                b2f(w1 & m8),
+                b2f((w1 >> np.uint32(8)) & m8),
+            )
+            bmin = grid_o + q_lo * grid_s
+            bmax = grid_o + q_hi * grid_s
+            hit, _tmin = _aabb_soa(s.lo, s.lid, bmin, bmax, limit)
+            prio = jnp.where(fwd, slot, MEGA_ARITY - 1 - slot)
+            hit &= (meta != 0) & (prio >= s.cur_slot)
+            better = hit & (prio < best_prio)
+            best_prio = jnp.where(better, prio, best_prio)
+            first_meta = jnp.where(better, meta, first_meta)
+            hit_count = hit_count + hit.astype(jnp.int32)
+
+        first_found = best_prio < MEGA_ARITY
+        descend = node_on & first_found
+        push = descend & (hit_count >= 2)
+        pop = (node_on & ~first_found) | leaf_on
+
+        # push (row << SLOT_BITS | next priority threshold)
+        push_entry = (
+            (jnp.where(trav, s.cur, 0).astype(jnp.uint32)
+             << jnp.uint32(MEGA_SLOT_BITS))
+            | (best_prio + 1).astype(jnp.uint32)
+        )
+        top = s.stack[0]
+        top_empty = top == _EMPTY
+        pop_shift = pop & ~top_empty
+        stack = []
+        for i in range(s_depth):
+            below = s.stack[i - 1] if i > 0 else push_entry
+            above = s.stack[i + 1] if i + 1 < s_depth else empty_slot
+            stack.append(jnp.where(
+                push, below, jnp.where(pop_shift, above, s.stack[i])
+            ))
+        stack = tuple(stack)
+
+        cur = s.cur
+        cur_leaf = s.cur_leaf
+        cur_slot = s.cur_slot
+        # descend into the first hit child
+        cur = jnp.where(descend, first_meta >> 1, cur)
+        cur_leaf = _bsel(descend, (first_meta & 1) == 1, cur_leaf)
+        cur_slot = jnp.where(descend, 0, cur_slot)
+        # pop: resume a saved (row, slot) or finish the entry
+        resume = pop & ~top_empty
+        cur = jnp.where(
+            resume, (top >> jnp.uint32(MEGA_SLOT_BITS)).astype(jnp.int32), cur
+        )
+        cur_slot = jnp.where(
+            resume, (top & _SLOT_MASK).astype(jnp.int32), cur_slot
+        )
+        cur_leaf = cur_leaf & ~resume  # where(resume, False, .) sans bool splat
+        cur = jnp.where(pop & top_empty, -1, cur)
+
+        # ---------------- NEXT-MESH: fold + enter --------------------
+        fin = ~s.done & (s.entry < e_count) & (cur < 0)
+        lvalid = fin & (lmesh >= 0)
+        one_sided_e = _sel(params.table, entry_c, e_count, _CP_OS) != 0.0
+        lvalid &= ~(one_sided_e & lback)
+        lvalid &= scale_e > _EPS
+        point_l = s.lo + s.ld * lt
+        point_w = (
+            _rot_fwd(params.table, entry_c, e_count, point_l * scale_e)
+            + _sel_v3(params.table, entry_c, e_count, _CP_POS)
+        )
+        n_w = v3lib.normalize(_rot_fwd(params.table, entry_c, e_count, lnrm))
+        dst = v3lib.length(point_w - s.origin)
+        closer = lvalid & (dst < s.w_dst)
+        w_valid = _bsel(fin, s.w_valid | closer, s.w_valid)
+        w_dst = jnp.where(closer, dst, s.w_dst)
+        w_point = v3lib.where(closer, point_w, s.w_point)
+        w_normal = v3lib.where(closer, n_w, s.w_normal)
+        w_back = _bsel(closer, lback, s.w_back)
+        w_mesh = jnp.where(closer, lmesh, s.w_mesh)
+
+        entry = jnp.where(fin, s.entry + 1, s.entry)
+        in_chain = fin & (entry < e_count)
+        lt = jnp.where(fin, _INF, lt)
+        lnrm = v3lib.where(fin, zero3, lnrm)
+        lback = lback & ~fin
+        lmesh = jnp.where(fin, -1, lmesh)
+    else:
+        # no traversal entries: every active lane shades each iter
+        stack = s.stack
+        cur, cur_leaf, cur_slot = s.cur, s.cur_leaf, s.cur_slot
+        lt, lnrm, lback, lmesh = s.lt, s.lnrm, s.lback, s.lmesh
+        w_valid, w_dst = s.w_valid, s.w_dst
+        w_point, w_normal = s.w_point, s.w_normal
+        w_back, w_mesh = s.w_back, s.w_mesh
+        entry = s.entry
+        in_chain = falses
+
+    # ---------------- SHADE ---------------------------------------
+    shade = ~s.done & (entry >= e_count)
+    segments = s.segments + shade.astype(jnp.int32)
+
+    res = shade_hit_soa(
+        mats, num_meshes, shade,
+        w_valid, w_point, w_normal, w_back, w_mesh,
+        s.origin, s.direction, s.throughput, s.light, s.rng, s.bounces,
+        max_bounces,
+    )
+    invis = s.invis + (shade & res.invisible).astype(jnp.int32)
+    continuing = res.continuing & ~(res.invisible & (invis > invisible_budget))
+
+    # primary cache store (sample 0, bounce 0)
+    store = (
+        (shade & ~s.c_set & (s.bounces == 0) & (s.sample == 0))
+        if use_cache else falses
+    )
+    c_set = s.c_set | store
+    c_valid = _bsel(store, w_valid, s.c_valid)
+    c_point = v3lib.where(store, w_point, s.c_point)
+    c_normal = v3lib.where(store, w_normal, s.c_normal)
+    c_back = _bsel(store, w_back, s.c_back)
+    c_mesh = jnp.where(store, w_mesh, s.c_mesh)
+    c_dst = jnp.where(store, w_dst, s.c_dst)
+
+    cont = shade & continuing
+    path_end = shade & ~continuing
+    zero = np.float32(0.0)
+    acc = s.acc + V3(
+        jnp.where(path_end, res.light.x, zero),
+        jnp.where(path_end, res.light.y, zero),
+        jnp.where(path_end, res.light.z, zero),
+    )
+    sample = s.sample + path_end.astype(jnp.int32)
+    pix_done = path_end & (sample >= rays_per_pixel)
+    if p_count > 1:
+        # Quota mode: a lane whose pixel is complete banks its
+        # accumulator into the pixel's slot and ADVANCES to its next
+        # quota pixel (stride = batch size) instead of idling; only the
+        # last quota pixel retires the lane.
+        last_pix = s.pixno >= (p_count - 1)
+        retire = pix_done & last_pix
+        advance = pix_done & ~last_pix
+        accs = []
+        for k in range(p_count):
+            wk = pix_done & (s.pixno == k)
+            accs.append(V3(
+                jnp.where(wk, acc.x, s.accs[k].x),
+                jnp.where(wk, acc.y, s.accs[k].y),
+                jnp.where(wk, acc.z, s.accs[k].z),
+            ))
+        accs = tuple(accs)
+        acc = V3(
+            jnp.where(pix_done, zero, acc.x),
+            jnp.where(pix_done, zero, acc.y),
+            jnp.where(pix_done, zero, acc.z),
+        )
+        pixno = s.pixno + advance.astype(jnp.int32)
+        # Signed arithmetic on purpose: Mosaic cannot lower u32 min
+        # (arith.minui); pixel indices are < 2^24 so i32 is exact.
+        adv_pix = jnp.minimum(
+            s.pix.astype(jnp.int32) + np.int32(pixel_stride),
+            np.int32(width * height - 1),  # pad lanes clamp like _flat_coords
+        ).astype(jnp.uint32)
+        pix = jnp.where(advance, adv_pix, s.pix)
+        sample = jnp.where(pix_done, 0, sample)
+    else:
+        retire = pix_done
+        advance = falses
+        accs = s.accs
+        pixno = s.pixno
+        pix = s.pix
+    done = s.done | retire
+    new_sample = path_end & ~retire
+
+    sample_u = sample.astype(jnp.uint32)
+    if p_count > 1:
+        # New pixel's primary ray: select the slot's PRECOMPUTED ray
+        # (slot_rays come from the same make_ray entry computation as
+        # plain batches — recomputing the camera chain in-body is NOT
+        # bit-stable, XLA fuses the uv arithmetic differently inside
+        # the loop). Static chain over slots; advance implies pixno>=1.
+        ro_n, rd_n = slot_rays[1]
+        for k in range(2, p_count):
+            wk = pixno == k
+            ro_k, rd_k = slot_rays[k]
+            ro_n = v3lib.where(wk, ro_k, ro_n)
+            rd_n = v3lib.where(wk, rd_k, rd_n)
+        ro0 = v3lib.where(advance, ro_n, s.ro0)
+        rd0 = v3lib.where(advance, rd_n, s.rd0)
+    else:
+        ro0, rd0 = s.ro0, s.rd0
+    ro_s, rd_s = primary_ray_fn(ro0, rd0, pix, sample_u)
+    rng = res.rng
+    if seed_mode != "reference":
+        rng = jnp.where(new_sample, seed_for(pix, sample_u), rng)
+    elif p_count > 1:
+        # Reference seed mode draws one seed per PIXEL (the stream then
+        # runs across its samples, Trace.cl:632-641) — re-seed on
+        # advance only.
+        rng = jnp.where(advance, seed_for(pix, sample_u), rng)
+
+    origin = v3lib.where(new_sample, ro_s, res.origin)
+    direction = v3lib.where(new_sample, rd_s, res.direction)
+    one = np.float32(1.0)
+    throughput = V3(
+        jnp.where(new_sample, one, res.throughput.x),
+        jnp.where(new_sample, one, res.throughput.y),
+        jnp.where(new_sample, one, res.throughput.z),
+    )
+    light = V3(
+        jnp.where(new_sample, zero, res.light.x),
+        jnp.where(new_sample, zero, res.light.y),
+        jnp.where(new_sample, zero, res.light.z),
+    )
+    bounces = jnp.where(new_sample, 0, res.bounces)
+    invis = jnp.where(new_sample, 0, invis)
+
+    # cached primary replay: new samples with a cache skip the chain
+    # (a quota advance invalidates the cache — it belongs to the
+    # finished pixel)
+    c_set = c_set & ~advance
+    replay = new_sample & c_set
+    restart = cont | (new_sample & ~replay)
+    entry = jnp.where(restart, 0, entry)
+    stack = tuple(
+        jnp.where(restart, _EMPTY, slot_arr) for slot_arr in stack
+    )
+
+    # ---- world-best reset + static stage + cached replay ----------
+    # (before `entering` so the root pretest sees the seeded w_dst)
+    w_valid = w_valid & ~shade
+    w_dst = jnp.where(shade, _INF, w_dst)
+    w_mesh = jnp.where(shade, -1, w_mesh)
+
+    sv, sd, sp, sn, sb, sm = _static_stage(
+        srows, s_cull, s_onesided, s_owner, mats, num_meshes, restart,
+        origin, direction
+    )
+    w_valid = _bsel(restart, sv, w_valid)
+    w_dst = jnp.where(restart, sd, w_dst)
+    w_point = v3lib.where(restart, sp, w_point)
+    w_normal = v3lib.where(restart, sn, w_normal)
+    w_back = _bsel(restart, sb, w_back)
+    w_mesh = jnp.where(restart, sm, w_mesh)
+
+    entry = jnp.where(replay, e_count, entry)
+    w_valid = _bsel(replay, c_valid, w_valid)
+    w_dst = jnp.where(replay, c_dst, w_dst)
+    w_point = v3lib.where(replay, c_point, w_point)
+    w_normal = v3lib.where(replay, c_normal, w_normal)
+    w_back = _bsel(replay, c_back, w_back)
+    w_mesh = jnp.where(replay, c_mesh, w_mesh)
+
+    # ONE local-frame entry computation serves both transitions
+    # (advancing to the next chain entry and restarting at entry 0
+    # with the bounced/new ray): by this point `entry` and
+    # origin/direction hold their final values for the iteration.
+    if e_count:
+        entering = in_chain | restart
+        lo2, ld2, lid2, root2, root_leaf2 = _enter(
+            params, e_count, entry, origin, direction
+        )
+        # Root pretest: skip the whole subtree when the entry's
+        # local root box lies beyond the already-found best hit
+        # (seeded by the static stage) or misses the ray.
+        pre_ok = _pretest(params, e_count, entry, lo2, lid2, w_dst)
+        root_or_skip = jnp.where(pre_ok, root2, -1)
+        lo = v3lib.where(entering, lo2, s.lo)
+        ld = v3lib.where(entering, ld2, s.ld)
+        lid = v3lib.where(entering, lid2, s.lid)
+        cur = jnp.where(entering, root_or_skip, cur)
+        cur_leaf = _bsel(entering, root_leaf2 & pre_ok, cur_leaf)
+        cur_slot = jnp.where(entering, 0, cur_slot)
+    else:
+        lo, ld, lid = s.lo, s.ld, s.lid
+
+    return _Lane(
+        iters=s.iters,
+        ro0=ro0, rd0=rd0, pix=pix, pixno=pixno,
+        sample=sample, acc=acc, accs=accs, rng=rng, done=done,
+        segments=segments,
+        origin=origin, direction=direction, throughput=throughput,
+        light=light, bounces=bounces, invis=invis,
+        entry=entry,
+        cur=cur, cur_leaf=cur_leaf, cur_slot=cur_slot, stack=stack,
+        lo=lo, ld=ld, lid=lid,
+        lt=lt, lnrm=lnrm, lback=lback, lmesh=lmesh,
+        w_valid=w_valid, w_dst=w_dst, w_point=w_point, w_normal=w_normal,
+        w_back=w_back, w_mesh=w_mesh,
+        c_set=c_set, c_valid=c_valid, c_point=c_point, c_normal=c_normal,
+        c_back=c_back, c_mesh=c_mesh, c_dst=c_dst,
+    )
 
 
 def run_megakernel(
@@ -439,24 +863,47 @@ def run_megakernel(
     initial_state: "_Lane" = None,
     max_iterations: int = None,
     return_state: bool = False,
+    body_backend: str = "xla",
+    pixels_per_lane: int = 1,
 ):
-    """Returns (mean radiance (R,3), total path segments (scalar f32),
-    iterations) — or the raw lane state when ``return_state`` (used by
-    the host-staged compaction driver in render/renderer.py, which caps
-    iterations, shrinks the batch to the surviving lanes, and resumes).
+    """Returns (mean radiance (R*pixels_per_lane, 3), total path
+    segments (scalar f32), iterations) — or the raw lane state when
+    ``return_state`` (used by the host-staged compaction driver in
+    render/renderer.py, which caps iterations, shrinks the batch to the
+    surviving lanes, and resumes; quota > 1 is not staged).
+
+    ``body_backend`` selects where the per-iteration lane math runs:
+    "xla" (the parity anchor) or "pallas" (one fused Mosaic kernel per
+    iteration; measured bit-identical on the v5e — see
+    render/mega_pallas.py).
+
+    ``pixels_per_lane`` > 1 gives each lane a quota of pixels at stride
+    R (lane i: pix[i], pix[i]+R, ...); radiance row k*R+i is quota slot
+    k of lane i — exactly pixel start+k*R+i for the flat path's
+    row-major slices.
     """
     if not isinstance(ro0, V3):
         ro0 = v3lib.from_rows(ro0)
     if not isinstance(rd0, V3):
         rd0 = v3lib.from_rows(rd0)
     r = ro0.x.shape[0]
+    p_count = int(pixels_per_lane)
     if max_bounces <= 0 and not return_state:
-        return jnp.zeros((r, 3), _F32), jnp.float32(0.0), jnp.int32(0)
+        return (
+            jnp.zeros((r * p_count, 3), _F32), jnp.float32(0.0),
+            jnp.int32(0),
+        )
 
     e_count = len(scene.mega_chain)
     params = _chain_params(scene) if e_count else None
     s_depth = scene.mega_stack_depth
     use_cache = not subpixel_jitter
+    mats = pack_materials(scene)
+    srows = scene.mega_static_rows
+    s_cull = scene.mega_static_cull
+    s_onesided = scene.mega_static_onesided
+    s_owner = scene.mega_static_owner
+    num_meshes = scene.num_meshes
 
     def primary_ray(p_ro0: V3, p_rd0: V3, p_pix, sample_id):
         if not subpixel_jitter:
@@ -493,7 +940,9 @@ def run_megakernel(
 
     # Seed the world best with the inline static stage for the primary
     # segment, then enter the chain (with root pretest).
-    sv, sd, sp, sn, sb, sm = _static_stage(scene, trues, ro0, rd0)
+    sv, sd, sp, sn, sb, sm = _static_stage(
+        srows, s_cull, s_onesided, s_owner, mats, num_meshes, trues, ro0, rd0
+    )
     if e_count:
         lo0, ld0, lid0, root0, root_leaf0 = _enter(
             params, e_count, zeros_i, ro0, rd0
@@ -507,8 +956,9 @@ def run_megakernel(
 
     lane = _Lane(
         iters=jnp.int32(0),
-        ro0=ro0, rd0=rd0, pix=pixel_index,
+        ro0=ro0, rd0=rd0, pix=pixel_index, pixno=zeros_i,
         sample=zeros_i, acc=zero3,
+        accs=tuple(zero3 for _ in range(p_count)) if p_count > 1 else (),
         rng=seed_for(pixel_index, jnp.uint32(0)), done=falses,
         segments=zeros_i,
         origin=ro0, direction=rd0,
@@ -530,298 +980,85 @@ def run_megakernel(
         lane = initial_state
     iter_cap = None if max_iterations is None else lane.iters + max_iterations
 
+    if p_count > 1:
+        # Per-slot primary rays, precomputed with the SAME
+        # pixel_uv+make_ray entry chain as plain batches (bit-stable;
+        # an in-body recomputation is not — XLA fuses the uv arithmetic
+        # differently inside the while_loop). Loop-invariant captures,
+        # selected by pixno at advance time.
+        from tpurt.core.camera import make_ray as _mk, pixel_uv as _puv
+
+        slot_list = [(ro0, rd0)]
+        pi0 = pixel_index.astype(jnp.int32)
+        for k in range(1, p_count):
+            pk = jnp.minimum(
+                pi0 + np.int32(k * r), np.int32(width * height - 1)
+            )
+            xs_k = pk % jnp.int32(width)
+            ys_k = pk // jnp.int32(width)
+            ro_k, rd_k = _mk(camera, _puv(xs_k, ys_k, width, height))
+            slot_list.append(
+                (v3lib.from_rows(ro_k), v3lib.from_rows(rd_k))
+            )
+        slot_rays = tuple(slot_list)
+    else:
+        slot_rays = ()
+    body_kw = dict(
+        e_count=e_count, s_depth=s_depth, num_meshes=num_meshes,
+        s_cull=s_cull, s_onesided=s_onesided, s_owner=s_owner,
+        max_bounces=max_bounces, rays_per_pixel=rays_per_pixel,
+        seed_mode=seed_mode, invisible_budget=invisible_budget,
+        use_cache=use_cache,
+        p_count=p_count, pixel_stride=r, width=width, height=height,
+    )
+
     def cond(s: _Lane):
         live = jnp.any(~s.done)
         if iter_cap is not None:
             live &= s.iters < iter_cap
         return live
 
-    def body(s: _Lane) -> _Lane:
-        # ---------------- TRAVERSE: the one gather -------------------
-        if e_count:
-            trav = ~s.done & (s.entry < e_count) & (s.cur >= 0)
-            idx = jnp.where(trav, s.cur, 0)
-            # One fat-row gather, then ONE transpose so each column is a
-            # contiguous (R,) lane vector (the (R, W) layout would put W
-            # on the 128-lane axis for every slice).
-            rowt = scene.mega_rows[idx].T  # (MEGA_ROW_WIDTH, R)
+    if body_backend == "auto":
+        try:
+            import jax
 
-            entry_c = jnp.minimum(s.entry, e_count - 1)
-            scale_e = _sel(params.scale, entry_c, e_count)
-            safe_e = jnp.where(jnp.abs(scale_e) > _EPS, scale_e, _F32(1.0))
-            limit = jnp.minimum(s.lt, s.w_dst / safe_e * _F32(1.001))
+            on_tpu = jax.devices()[0].platform in ("tpu", "axon")
+        except Exception:
+            on_tpu = False
+        body_backend = "pallas" if on_tpu else "xla"
+    if body_backend == "pallas" and not subpixel_jitter:
+        from tpurt.render.mega_pallas import make_pallas_body
 
-            # --- leaf branch: inline exact MT tests -------------------
-            leaf_on = trav & s.cur_leaf
-            entry_mesh = _sel_static(params.mesh, entry_c, e_count, jnp.int32)
-            is_static = entry_mesh < 0
-            cull_mesh_e = _sel(params.cull, entry_c, e_count)
-            lt, lnrm, lback, lmesh = s.lt, s.lnrm, s.lback, s.lmesh
-            for k in range(MEGA_LEAF_TRIS):
-                aux_raw = lax.bitcast_convert_type(
-                    rowt[19 * k + 18], jnp.int32
-                )
-                cull = jnp.where(
-                    is_static, _static_cull(scene, aux_raw), cull_mesh_e
-                )
-                ok, t, n, backface, aux = _mt_inline(s.lo, s.ld, rowt, 19 * k, cull)
-                cand_mesh = jnp.where(is_static, aux, entry_mesh)
-                win = leaf_on & ok & (t < lt)
-                lt = jnp.where(win, t, lt)
-                lnrm = v3lib.where(win, n, lnrm)
-                lback = jnp.where(win, backface, lback)
-                lmesh = jnp.where(win, cand_mesh, lmesh)
-
-            # --- node branch: test MEGA_ARITY quantised children -------
-            # Children are build-sorted along the node's widest axis
-            # (row[6]); visiting them in direction-signed PRIORITY order
-            # (forward when the local ray points up the axis, reversed
-            # otherwise) makes near children test first, so the distance
-            # bound prunes far siblings. cur_slot is a priority threshold
-            # for resuming a popped node.
-            node_on = trav & ~s.cur_leaf
-            grid_o = _col_v3(rowt, 0)
-            grid_s = _col_v3(rowt, 3)
-            sort_axis = lax.bitcast_convert_type(rowt[6], jnp.int32)
-            dcomp = jnp.where(
-                sort_axis == 0, s.ld.x,
-                jnp.where(sort_axis == 1, s.ld.y, s.ld.z),
-            )
-            fwd = dcomp >= 0.0
-            best_prio = jnp.full((r,), MEGA_ARITY, jnp.int32)
-            first_meta = zeros_i
-            hit_count = zeros_i
-            m8 = np.uint32(0xFF)
-            for slot in range(MEGA_ARITY):
-                base = 7 + 3 * slot
-                w0 = lax.bitcast_convert_type(rowt[base], jnp.uint32)
-                w1 = lax.bitcast_convert_type(rowt[base + 1], jnp.uint32)
-                meta = lax.bitcast_convert_type(rowt[base + 2], jnp.int32)
-                q_lo = V3(
-                    (w0 & m8).astype(_F32),
-                    ((w0 >> np.uint32(8)) & m8).astype(_F32),
-                    ((w0 >> np.uint32(16)) & m8).astype(_F32),
-                )
-                q_hi = V3(
-                    ((w0 >> np.uint32(24)) & m8).astype(_F32),
-                    (w1 & m8).astype(_F32),
-                    ((w1 >> np.uint32(8)) & m8).astype(_F32),
-                )
-                bmin = grid_o + q_lo * grid_s
-                bmax = grid_o + q_hi * grid_s
-                hit, _tmin = _aabb_soa(s.lo, s.lid, bmin, bmax, limit)
-                prio = jnp.where(fwd, slot, MEGA_ARITY - 1 - slot)
-                hit &= (meta != 0) & (prio >= s.cur_slot)
-                better = hit & (prio < best_prio)
-                best_prio = jnp.where(better, prio, best_prio)
-                first_meta = jnp.where(better, meta, first_meta)
-                hit_count = hit_count + hit.astype(jnp.int32)
-
-            first_found = best_prio < MEGA_ARITY
-            descend = node_on & first_found
-            push = descend & (hit_count >= 2)
-            pop = (node_on & ~first_found) | leaf_on
-
-            # push (row << SLOT_BITS | next priority threshold)
-            push_entry = (
-                (jnp.where(trav, s.cur, 0).astype(jnp.uint32)
-                 << jnp.uint32(MEGA_SLOT_BITS))
-                | (best_prio + 1).astype(jnp.uint32)
-            )
-            top = s.stack[0]
-            top_empty = top == _EMPTY
-            pop_shift = pop & ~top_empty
-            stack = []
-            for i in range(s_depth):
-                below = s.stack[i - 1] if i > 0 else push_entry
-                above = s.stack[i + 1] if i + 1 < s_depth else empty_slot
-                stack.append(jnp.where(
-                    push, below, jnp.where(pop_shift, above, s.stack[i])
-                ))
-            stack = tuple(stack)
-
-            cur = s.cur
-            cur_leaf = s.cur_leaf
-            cur_slot = s.cur_slot
-            # descend into the first hit child
-            cur = jnp.where(descend, first_meta >> 1, cur)
-            cur_leaf = jnp.where(descend, (first_meta & 1) == 1, cur_leaf)
-            cur_slot = jnp.where(descend, 0, cur_slot)
-            # pop: resume a saved (row, slot) or finish the entry
-            resume = pop & ~top_empty
-            cur = jnp.where(
-                resume, (top >> jnp.uint32(MEGA_SLOT_BITS)).astype(jnp.int32), cur
-            )
-            cur_slot = jnp.where(
-                resume, (top & _SLOT_MASK).astype(jnp.int32), cur_slot
-            )
-            cur_leaf = jnp.where(resume, False, cur_leaf)
-            cur = jnp.where(pop & top_empty, -1, cur)
-
-            # ---------------- NEXT-MESH: fold + enter --------------------
-            fin = ~s.done & (s.entry < e_count) & (cur < 0)
-            lvalid = fin & (lmesh >= 0)
-            one_sided_e = _sel(params.one_sided, entry_c, e_count)
-            lvalid &= ~(one_sided_e & lback)
-            lvalid &= scale_e > _EPS
-            point_l = s.lo + s.ld * lt
-            point_w = (
-                _rot_fwd(params.rot, entry_c, e_count, point_l * scale_e)
-                + _sel_v3(params.pos, entry_c, e_count)
-            )
-            n_w = v3lib.normalize(_rot_fwd(params.rot, entry_c, e_count, lnrm))
-            dst = v3lib.length(point_w - s.origin)
-            closer = lvalid & (dst < s.w_dst)
-            w_valid = jnp.where(fin, s.w_valid | closer, s.w_valid)
-            w_dst = jnp.where(closer, dst, s.w_dst)
-            w_point = v3lib.where(closer, point_w, s.w_point)
-            w_normal = v3lib.where(closer, n_w, s.w_normal)
-            w_back = jnp.where(closer, lback, s.w_back)
-            w_mesh = jnp.where(closer, lmesh, s.w_mesh)
-
-            entry = jnp.where(fin, s.entry + 1, s.entry)
-            in_chain = fin & (entry < e_count)
-            lt = jnp.where(fin, _INF, lt)
-            lnrm = v3lib.where(fin, zero3, lnrm)
-            lback = jnp.where(fin, False, lback)
-            lmesh = jnp.where(fin, -1, lmesh)
-        else:
-            # no traversal entries: every active lane shades each iter
-            stack = s.stack
-            cur, cur_leaf, cur_slot = s.cur, s.cur_leaf, s.cur_slot
-            lt, lnrm, lback, lmesh = s.lt, s.lnrm, s.lback, s.lmesh
-            w_valid, w_dst = s.w_valid, s.w_dst
-            w_point, w_normal = s.w_point, s.w_normal
-            w_back, w_mesh = s.w_back, s.w_mesh
-            entry = s.entry
-            in_chain = falses
-
-        # ---------------- SHADE ---------------------------------------
-        shade = ~s.done & (entry >= e_count)
-        segments = s.segments + shade.astype(jnp.int32)
-
-        res = shade_hit_soa(
-            scene, shade,
-            w_valid, w_point, w_normal, w_back, w_mesh,
-            s.origin, s.direction, s.throughput, s.light, s.rng, s.bounces,
-            max_bounces,
-        )
-        invis = s.invis + (shade & res.invisible).astype(jnp.int32)
-        continuing = res.continuing & ~(res.invisible & (invis > invisible_budget))
-
-        # primary cache store (sample 0, bounce 0)
-        store = shade & use_cache & ~s.c_set & (s.bounces == 0) & (s.sample == 0)
-        c_set = s.c_set | store
-        c_valid = jnp.where(store, w_valid, s.c_valid)
-        c_point = v3lib.where(store, w_point, s.c_point)
-        c_normal = v3lib.where(store, w_normal, s.c_normal)
-        c_back = jnp.where(store, w_back, s.c_back)
-        c_mesh = jnp.where(store, w_mesh, s.c_mesh)
-        c_dst = jnp.where(store, w_dst, s.c_dst)
-
-        cont = shade & continuing
-        path_end = shade & ~continuing
-        zero = np.float32(0.0)
-        acc = s.acc + V3(
-            jnp.where(path_end, res.light.x, zero),
-            jnp.where(path_end, res.light.y, zero),
-            jnp.where(path_end, res.light.z, zero),
-        )
-        sample = s.sample + path_end.astype(jnp.int32)
-        retire = path_end & (sample >= rays_per_pixel)
-        done = s.done | retire
-        new_sample = path_end & ~retire
-
-        sample_u = sample.astype(jnp.uint32)
-        ro_s, rd_s = primary_ray(s.ro0, s.rd0, s.pix, sample_u)
-        rng = res.rng
-        if seed_mode != "reference":
-            rng = jnp.where(new_sample, seed_for(s.pix, sample_u), rng)
-
-        origin = v3lib.where(new_sample, ro_s, res.origin)
-        direction = v3lib.where(new_sample, rd_s, res.direction)
-        one = np.float32(1.0)
-        throughput = V3(
-            jnp.where(new_sample, one, res.throughput.x),
-            jnp.where(new_sample, one, res.throughput.y),
-            jnp.where(new_sample, one, res.throughput.z),
-        )
-        light = V3(
-            jnp.where(new_sample, zero, res.light.x),
-            jnp.where(new_sample, zero, res.light.y),
-            jnp.where(new_sample, zero, res.light.z),
-        )
-        bounces = jnp.where(new_sample, 0, res.bounces)
-        invis = jnp.where(new_sample, 0, invis)
-
-        # cached primary replay: new samples with a cache skip the chain
-        replay = new_sample & c_set
-        restart = cont | (new_sample & ~replay)
-        entry = jnp.where(restart, 0, entry)
-        stack = tuple(
-            jnp.where(restart, _EMPTY, slot_arr) for slot_arr in stack
+        pallas_body = make_pallas_body(
+            scene, params, slot_rays, frame_index, sample_offset, body_kw
         )
 
-        # ---- world-best reset + static stage + cached replay ----------
-        # (before `entering` so the root pretest sees the seeded w_dst)
-        w_valid = jnp.where(shade, False, w_valid)
-        w_dst = jnp.where(shade, _INF, w_dst)
-        w_mesh = jnp.where(shade, -1, w_mesh)
-
-        sv, sd, sp, sn, sb, sm = _static_stage(scene, restart, origin, direction)
-        w_valid = jnp.where(restart, sv, w_valid)
-        w_dst = jnp.where(restart, sd, w_dst)
-        w_point = v3lib.where(restart, sp, w_point)
-        w_normal = v3lib.where(restart, sn, w_normal)
-        w_back = jnp.where(restart, sb, w_back)
-        w_mesh = jnp.where(restart, sm, w_mesh)
-
-        entry = jnp.where(replay, e_count, entry)
-        w_valid = jnp.where(replay, c_valid, w_valid)
-        w_dst = jnp.where(replay, c_dst, w_dst)
-        w_point = v3lib.where(replay, c_point, w_point)
-        w_normal = v3lib.where(replay, c_normal, w_normal)
-        w_back = jnp.where(replay, c_back, w_back)
-        w_mesh = jnp.where(replay, c_mesh, w_mesh)
-
-        # ONE local-frame entry computation serves both transitions
-        # (advancing to the next chain entry and restarting at entry 0
-        # with the bounced/new ray): by this point `entry` and
-        # origin/direction hold their final values for the iteration.
-        if e_count:
-            entering = in_chain | restart
-            lo2, ld2, lid2, root2, root_leaf2 = _enter(
-                params, e_count, entry, origin, direction
+        def body(s: _Lane) -> _Lane:
+            if e_count:
+                trav = ~s.done & (s.entry < e_count) & (s.cur >= 0)
+                idx = jnp.where(trav, s.cur, 0)
+                row = scene.mega_rows[idx]  # (R, W)
+            else:
+                row = None
+            s2 = pallas_body(s, row)
+            return s2._replace(iters=s.iters + 1)
+    else:
+        def body(s: _Lane) -> _Lane:
+            if e_count:
+                trav = ~s.done & (s.entry < e_count) & (s.cur >= 0)
+                idx = jnp.where(trav, s.cur, 0)
+                # One fat-row gather, then ONE transpose so each column
+                # is a contiguous (R,) lane vector (the (R, W) layout
+                # would put W on the 128-lane axis for every slice).
+                rowt = scene.mega_rows[idx].T  # (W, R)
+                col = lambda j: rowt[j]
+            else:
+                col = None
+            s2 = _body_math(
+                s, col, srows, mats, params, slot_rays, frame_index,
+                sample_offset, primary_ray, **body_kw,
             )
-            # Root pretest: skip the whole subtree when the entry's
-            # local root box lies beyond the already-found best hit
-            # (seeded by the static stage) or misses the ray.
-            pre_ok = _pretest(params, e_count, entry, lo2, lid2, w_dst)
-            root_or_skip = jnp.where(pre_ok, root2, -1)
-            lo = v3lib.where(entering, lo2, s.lo)
-            ld = v3lib.where(entering, ld2, s.ld)
-            lid = v3lib.where(entering, lid2, s.lid)
-            cur = jnp.where(entering, root_or_skip, cur)
-            cur_leaf = jnp.where(entering, root_leaf2 & pre_ok, cur_leaf)
-            cur_slot = jnp.where(entering, 0, cur_slot)
-        else:
-            lo, ld, lid = s.lo, s.ld, s.lid
-
-        return _Lane(
-            iters=s.iters + 1,
-            ro0=s.ro0, rd0=s.rd0, pix=s.pix,
-            sample=sample, acc=acc, rng=rng, done=done, segments=segments,
-            origin=origin, direction=direction, throughput=throughput,
-            light=light, bounces=bounces, invis=invis,
-            entry=entry,
-            cur=cur, cur_leaf=cur_leaf, cur_slot=cur_slot, stack=stack,
-            lo=lo, ld=ld, lid=lid,
-            lt=lt, lnrm=lnrm, lback=lback, lmesh=lmesh,
-            w_valid=w_valid, w_dst=w_dst, w_point=w_point, w_normal=w_normal,
-            w_back=w_back, w_mesh=w_mesh,
-            c_set=c_set, c_valid=c_valid, c_point=c_point, c_normal=c_normal,
-            c_back=c_back, c_mesh=c_mesh, c_dst=c_dst,
-        )
+            return s2._replace(iters=s.iters + 1)
 
     def body_unrolled(s: _Lane) -> _Lane:
         for _ in range(unroll):
@@ -831,5 +1068,12 @@ def run_megakernel(
     final = lax.while_loop(cond, body_unrolled, lane)
     if return_state:
         return final
-    mean = v3lib.to_rows(final.acc) / jnp.float32(rays_per_pixel)
+    if p_count > 1:
+        # (P, R, 3) -> (P*R, 3): row k*R+i is lane i's quota slot k,
+        # i.e. pixel start + k*R + i in the flat path's row-major order.
+        mean = jnp.concatenate(
+            [v3lib.to_rows(a) for a in final.accs]
+        ) / jnp.float32(rays_per_pixel)
+    else:
+        mean = v3lib.to_rows(final.acc) / jnp.float32(rays_per_pixel)
     return mean, jnp.sum(final.segments.astype(jnp.float32)), final.iters

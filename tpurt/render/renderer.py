@@ -57,7 +57,7 @@ def _tile_pixel_coords(tile_h: int, tile_w: int, x0, y0):
     static_argnames=(
         "tile_h", "tile_w", "width", "height", "rays_per_pixel", "max_bounces",
         "seed_mode", "invisible_budget", "bruteforce_threshold", "subpixel_jitter",
-        "engine", "dense_engine",
+        "engine", "dense_engine", "body_backend",
     ),
     # The mega engine leaves many Scene fields unused; without this the
     # executable's parameter pruning has been observed to disagree with
@@ -86,6 +86,7 @@ def _render_tile_impl(
     subpixel_jitter: bool,
     engine: str = "mega",
     dense_engine: str = "exact",
+    body_backend: str = "xla",
 ) -> jnp.ndarray:
     x0, y0 = coords[0], coords[1]
     frame_index, sample_offset = coords[2], coords[3]
@@ -103,6 +104,7 @@ def _render_tile_impl(
             seed_mode=seed_mode, invisible_budget=invisible_budget,
             sample_offset=sample_offset, subpixel_jitter=subpixel_jitter,
             camera=camera, width=width, height=height,
+            body_backend=body_backend,
         )
         return mean.reshape(tile_h, tile_w, 3), segs
 
@@ -190,13 +192,13 @@ def _mega_statics(cfg: RenderConfig, width: int, height: int) -> dict:
         width=width, height=height,
         rays_per_pixel=cfg.rays_per_pixel, max_bounces=cfg.max_bounces,
         seed_mode=cfg.seed_mode, invisible_budget=cfg.invisible_budget,
-        subpixel_jitter=cfg.subpixel_jitter,
+        subpixel_jitter=cfg.subpixel_jitter, body_backend=cfg.mega_body,
     )
 
 
 @functools.partial(jax.jit, static_argnames=(
     "tile_h", "tile_w", "width", "height", "rays_per_pixel", "max_bounces",
-    "seed_mode", "invisible_budget", "subpixel_jitter",
+    "seed_mode", "invisible_budget", "subpixel_jitter", "body_backend",
 ), keep_unused=True)
 def _mega_stage_start(scene, camera, coords, *, tile_h, tile_w, **statics):
     from tpurt.render.megakernel import run_megakernel
@@ -218,7 +220,7 @@ def _mega_stage_start(scene, camera, coords, *, tile_h, tile_w, **statics):
 
 @functools.partial(jax.jit, static_argnames=(
     "width", "height", "rays_per_pixel", "max_bounces",
-    "seed_mode", "invisible_budget", "subpixel_jitter", "uncapped",
+    "seed_mode", "invisible_budget", "subpixel_jitter", "uncapped", "body_backend",
 ), keep_unused=True)
 def _mega_stage_more(scene, camera, state, frame_and_offset, *, uncapped=False,
                      **statics):
@@ -331,9 +333,11 @@ def _flat_coords(coords, batch: int, width: int, height: int):
 
 @functools.partial(jax.jit, static_argnames=(
     "batch", "width", "height", "rays_per_pixel", "max_bounces",
-    "seed_mode", "invisible_budget", "subpixel_jitter",
+    "seed_mode", "invisible_budget", "subpixel_jitter", "body_backend",
+    "pixels_per_lane",
 ), keep_unused=True)
-def _mega_flat_full(scene, camera, coords, *, batch, **statics):
+def _mega_flat_full(scene, camera, coords, *, batch, pixels_per_lane=1,
+                    **statics):
     from tpurt.render.megakernel import run_megakernel
 
     width, height = statics["width"], statics["height"]
@@ -342,14 +346,15 @@ def _mega_flat_full(scene, camera, coords, *, batch, **statics):
     ro0, rd0 = make_ray(camera, uv)
     mean, segs, iters = run_megakernel(
         scene, ro0, rd0, pix, coords[1],
-        sample_offset=coords[2], camera=camera, **statics,
+        sample_offset=coords[2], camera=camera,
+        pixels_per_lane=pixels_per_lane, **statics,
     )
     return mean, segs, iters
 
 
 @functools.partial(jax.jit, static_argnames=(
     "batch", "width", "height", "rays_per_pixel", "max_bounces",
-    "seed_mode", "invisible_budget", "subpixel_jitter",
+    "seed_mode", "invisible_budget", "subpixel_jitter", "body_backend",
 ), keep_unused=True)
 def _mega_flat_start(scene, camera, coords, *, batch, **statics):
     from tpurt.render.megakernel import run_megakernel
@@ -374,18 +379,27 @@ def render_batch_flat(
     frame_index: int = 0,
     sample_offset: int = 0,
 ):
-    """Mean radiance of one flat lane batch: pixels [start, start+B) in
-    row-major order, padded past the frame end. Returns ((B,3) radiance
-    device array, segs, iters-or-None)."""
+    """Mean radiance of one flat lane batch: pixels
+    [start, start + B*pixels_per_lane) in row-major order, padded past
+    the frame end. Returns ((B*P, 3) radiance device array, segs,
+    iters-or-None)."""
     b = _flat_batch_size(cfg)
+    p = cfg.pixels_per_lane
     statics = _mega_statics(cfg, cfg.width, cfg.height)
     coords = jnp.asarray([start, frame_index, sample_offset], jnp.int32)
-    if cfg.compaction_threshold and b >= cfg.compaction_threshold and cfg.max_bounces > 0:
+    if (
+        p == 1
+        and cfg.compaction_threshold
+        and b >= cfg.compaction_threshold
+        and cfg.max_bounces > 0
+    ):
         fo = jnp.asarray([frame_index, sample_offset], jnp.int32)
         state, active = _mega_flat_start(scene, camera, coords, batch=b, **statics)
         mean, segs = _mega_finish_staged(scene, camera, cfg, state, active, fo, b)
         return mean, segs, None
-    mean, segs, iters = _mega_flat_full(scene, camera, coords, batch=b, **statics)
+    mean, segs, iters = _mega_flat_full(
+        scene, camera, coords, batch=b, pixels_per_lane=p, **statics
+    )
     return mean, segs, iters
 
 
@@ -439,6 +453,7 @@ def render_tile_with_stats(
         subpixel_jitter=cfg.subpixel_jitter,
         engine=cfg.engine,
         dense_engine=cfg.dense_engine,
+        body_backend=cfg.mega_body,
     )
 
 
@@ -523,7 +538,7 @@ def _render_frame_flat(
     retries: int = 1,
 ) -> np.ndarray:
     total = cfg.width * cfg.height
-    b = _flat_batch_size(cfg)
+    b = _flat_batch_size(cfg) * cfg.pixels_per_lane  # pixels per launch
     n_batches = -(-total // b)
     out = np.zeros((total, 3), np.float32)
     for i in range(n_batches):

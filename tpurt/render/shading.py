@@ -54,52 +54,80 @@ class ShadeResult(NamedTuple):
     invisible: jnp.ndarray  # (R,) bool
 
 
-def select_material_soa(scene: Scene, mesh_idx: jnp.ndarray):
+# Packed material table columns (pack_materials): mat_type rides as f32
+# (values 0-4 are exact), everything else is f32 anyway. The packed form
+# exists so the same select chain reads from a jnp array (XLA) or an
+# SMEM ref (Pallas) — both support scalar [i, c] indexing.
+MAT_TYPE, MAT_IOR = 0, 1
+MAT_COLOR, MAT_EMC = 2, 5  # 3 columns each
+MAT_EMS, MAT_REFL, MAT_SPEC = 8, 9, 10
+MAT_WIDTH = 11
+
+
+def pack_materials(scene: Scene) -> jnp.ndarray:
+    """(K, 11) f32 material table from the Scene's per-mesh columns."""
+    return jnp.stack(
+        [
+            scene.mat_type.astype(jnp.float32),
+            scene.mat_ior,
+            scene.mat_color[:, 0], scene.mat_color[:, 1], scene.mat_color[:, 2],
+            scene.mat_emission_color[:, 0], scene.mat_emission_color[:, 1],
+            scene.mat_emission_color[:, 2],
+            scene.mat_emission_strength,
+            scene.mat_reflectiveness,
+            scene.mat_specular_prob,
+        ],
+        axis=1,
+    )
+
+
+def select_material_soa(mats, num_meshes: int, mesh_idx: jnp.ndarray):
     """Gather-free material fetch: chain of broadcast selects over the
-    static mesh count. Returns per-lane material fields (colors as V3)."""
-    k = scene.num_meshes
-    r = mesh_idx.shape[0]
-    zeros = jnp.zeros((r,), jnp.float32)
-    mtype = jnp.zeros((r,), jnp.int32)
+    static mesh count. ``mats`` is the (K, 11) pack_materials table (a
+    jnp array or a Pallas ref slice-reader). Returns per-lane material
+    fields (colors as V3); mtype stays f32 (exact small ints)."""
+    zeros = jnp.zeros(mesh_idx.shape, jnp.float32)
+    mtype = zeros
     ior = zeros
     color = V3(zeros, zeros, zeros)
     em_color = V3(zeros, zeros, zeros)
     em_strength = zeros
     refl = zeros
     spec = zeros
-    for i in range(k):
+    for i in range(num_meshes):
         m = mesh_idx == i
-        mtype = jnp.where(m, scene.mat_type[i], mtype)
-        ior = jnp.where(m, scene.mat_ior[i], ior)
+        mtype = jnp.where(m, mats[i, MAT_TYPE], mtype)
+        ior = jnp.where(m, mats[i, MAT_IOR], ior)
         color = V3(
-            jnp.where(m, scene.mat_color[i][0], color.x),
-            jnp.where(m, scene.mat_color[i][1], color.y),
-            jnp.where(m, scene.mat_color[i][2], color.z),
+            jnp.where(m, mats[i, MAT_COLOR], color.x),
+            jnp.where(m, mats[i, MAT_COLOR + 1], color.y),
+            jnp.where(m, mats[i, MAT_COLOR + 2], color.z),
         )
         em_color = V3(
-            jnp.where(m, scene.mat_emission_color[i][0], em_color.x),
-            jnp.where(m, scene.mat_emission_color[i][1], em_color.y),
-            jnp.where(m, scene.mat_emission_color[i][2], em_color.z),
+            jnp.where(m, mats[i, MAT_EMC], em_color.x),
+            jnp.where(m, mats[i, MAT_EMC + 1], em_color.y),
+            jnp.where(m, mats[i, MAT_EMC + 2], em_color.z),
         )
-        em_strength = jnp.where(m, scene.mat_emission_strength[i], em_strength)
-        refl = jnp.where(m, scene.mat_reflectiveness[i], refl)
-        spec = jnp.where(m, scene.mat_specular_prob[i], spec)
+        em_strength = jnp.where(m, mats[i, MAT_EMS], em_strength)
+        refl = jnp.where(m, mats[i, MAT_REFL], refl)
+        spec = jnp.where(m, mats[i, MAT_SPEC], spec)
     return mtype, ior, color, em_color, em_strength, refl, spec
 
 
 def select_material(scene: Scene, mesh_idx: jnp.ndarray):
     """Row-layout compatibility fetch: colors as (R, 3)."""
     mtype, ior, color, em_color, em_strength, refl, spec = select_material_soa(
-        scene, mesh_idx
+        pack_materials(scene), scene.num_meshes, mesh_idx
     )
     return (
-        mtype, ior, v3lib.to_rows(color), v3lib.to_rows(em_color),
-        em_strength, refl, spec,
+        mtype.astype(jnp.int32), ior, v3lib.to_rows(color),
+        v3lib.to_rows(em_color), em_strength, refl, spec,
     )
 
 
 def shade_hit_soa(
-    scene: Scene,
+    mats,  # (K, 11) pack_materials table (jnp array or Pallas ref)
+    num_meshes: int,
     enabled: jnp.ndarray,  # (R,) bool — lanes taking a shade step now
     hit_valid: jnp.ndarray,
     hit_point: V3,
@@ -117,7 +145,7 @@ def shade_hit_soa(
     """One material interaction for lanes where ``enabled``; all other
     lanes pass through untouched (including their RNG stream)."""
     mtype, ior, color, em_color, em_strength, refl, spec_prob = (
-        select_material_soa(scene, jnp.maximum(hit_mesh, 0))
+        select_material_soa(mats, num_meshes, jnp.maximum(hit_mesh, 0))
     )
 
     a_hit = enabled & hit_valid
@@ -237,7 +265,7 @@ def shade_hit(
     """(R, 3)-layout wrapper over shade_hit_soa (the modular engine's
     calling convention); numerically identical — only repacks."""
     res = shade_hit_soa(
-        scene, enabled, hit_valid,
+        pack_materials(scene), scene.num_meshes, enabled, hit_valid,
         v3lib.from_rows(hit_point), v3lib.from_rows(hit_normal),
         hit_backface, hit_mesh,
         v3lib.from_rows(origin), v3lib.from_rows(direction),

@@ -605,6 +605,7 @@ class SceneBuilder:
         static_rows_list: List[np.ndarray] = []
         static_cull: List[bool] = []
         static_onesided: List[bool] = []
+        static_owner: List[int] = []
         i32f = lambda v: np.array(v, np.int32).view(np.float32)
         for i in inline_eligible:
             m = self.meshes[i]
@@ -615,6 +616,7 @@ class SceneBuilder:
                 row[9:18] = tri_nrm[t].reshape(9)
                 row[18] = i32f(i)
                 static_rows_list.append(row)
+                static_owner.append(i)
                 static_cull.append(
                     mt not in (
                         int(MaterialType.GLASSY),
@@ -733,6 +735,7 @@ class SceneBuilder:
             mega_stack_depth=int(mega_depth) + 2,
             mega_static_cull=tuple(static_cull),
             mega_static_onesided=tuple(static_onesided),
+            mega_static_owner=tuple(static_owner),
             mesh_tri_ranges=tuple((m.first_tri, m.num_tris) for m in self.meshes),
             mesh_mat_types=tuple(int(m.material.type) for m in self.meshes),
             mesh_identity=tuple(

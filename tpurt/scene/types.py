@@ -153,6 +153,13 @@ class Scene:
     mega_static_onesided: Tuple[bool, ...] = struct.field(
         pytree_node=False, default=()
     )
+    #: Owner mesh id per inline static triangle (static twin of the
+    #: bitcast-i32 word in column 18 of mega_static_rows — kept static
+    #: so the hot loop needs no scalar bitcast, which Mosaic cannot
+    #: lower).
+    mega_static_owner: Tuple[int, ...] = struct.field(
+        pytree_node=False, default=()
+    )
     #: True where the instance transform was identity at freeze time
     #: (pos=0, angles=0, scale=1 — e.g. the Cornell quads, which addQuad
     #: leaves untransformed, readobj.hpp:393). The intersector fuses all
