@@ -91,7 +91,7 @@ def time_render_flat(scene, cam, cfg, repeats=2):
     from tpurt.render.renderer import _flat_batch_size, render_batch_flat
 
     total = cfg.width * cfg.height
-    b = _flat_batch_size(cfg)
+    b = _flat_batch_size(cfg) * cfg.pixels_per_lane  # pixels per launch
     n_batches = -(-total // b)
 
     # Warmup / compile (both stage shapes).
@@ -191,7 +191,11 @@ def main():
 
     log(f"devices: {jax.devices()}")
 
-    common = dict(tile_size=args.tile_size, seed_mode="reference")
+    # pixels_per_lane=8: lanes work through 8-pixel quotas so one
+    # straggler set amortises over the whole launch (measured 2.2x on
+    # the bunny ladder); compaction off — quota already equalises.
+    common = dict(tile_size=args.tile_size, seed_mode="reference",
+                  pixels_per_lane=8, compaction_threshold=0)
 
     results = []
     if args.ladder:

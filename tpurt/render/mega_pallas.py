@@ -65,7 +65,7 @@ def _interpret_default() -> bool:
 
 def make_pallas_body(scene, params, slot_rays, frame_index, sample_offset,
                      body_kw, interpret: bool = None):
-    """Returns fn(state: _Lane, row: (R, W) f32 or None) -> _Lane
+    """Returns fn(state: _Lane, row: (W, R) f32 or None) -> _Lane
     running megakernel._body_math as one fused Mosaic kernel.
 
     ``params`` is the packed _ChainParams; ``body_kw`` the static
@@ -139,8 +139,8 @@ def make_pallas_body(scene, params, slot_rays, frame_index, sample_offset,
         ]
         inputs = [ptab, mats, srows, fo] + xs + slot_xs
         if e_count:
-            w = row.shape[1]
-            rowt = row.T  # (W, R)
+            rowt = row  # already (W, R): gathered from the transposed bank
+            w = rowt.shape[0]
             if r_pad != r:
                 rowt = jnp.concatenate(
                     [rowt, jnp.zeros((w, r_pad - r), jnp.float32)], axis=1

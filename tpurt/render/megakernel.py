@@ -97,7 +97,9 @@ CP_WIDTH = 21
 
 class _Lane(NamedTuple):
     # diagnostics
-    iters: jnp.ndarray  # () i32 — loop iterations executed (sync cost)
+    iters: jnp.ndarray  # () i32 — loop iterations executed (sync cost);
+    #   with run_megakernel(debug_counters=True) a (6,) i32 vector:
+    #   [iters, live, node, leaf, shade, enter] lane-iteration tallies
     # per-lane task constants (ride in the state so lanes can be
     # COMPACTED: a shrunken batch must carry its own primary rays/seeds)
     ro0: V3  # primary origin
@@ -452,7 +454,11 @@ def _body_math(
     srows,  # static triangle rows, scalar [s, j] reads
     mats,  # (K, 11) packed materials, scalar [i, c] reads
     params: _ChainParams,
-    slot_rays,  # tuple of (V3, V3) per quota slot (len p_count; () if 1)
+    slot_rays,  # per-slot primary DIRECTIONS for quota slots 1..P-1
+    #   (tuple of V3, len p_count-1; () if quota 1). Slot 0's direction
+    #   is the entry rd0 and is never re-selected; origins are not
+    #   slotted at all — the camera is a pinhole, every slot's origin
+    #   is the camera position already in s.ro0.
     frame_index,
     sample_offset,
     primary_ray_fn,  # (ro0, rd0, pix, sample_u) -> (V3, V3)
@@ -726,18 +732,16 @@ def _body_math(
 
     sample_u = sample.astype(jnp.uint32)
     if p_count > 1:
-        # New pixel's primary ray: select the slot's PRECOMPUTED ray
-        # (slot_rays come from the same make_ray entry computation as
-        # plain batches — recomputing the camera chain in-body is NOT
-        # bit-stable, XLA fuses the uv arithmetic differently inside
-        # the loop). Static chain over slots; advance implies pixno>=1.
-        ro_n, rd_n = slot_rays[1]
+        # New pixel's primary ray: select the slot's PRECOMPUTED
+        # direction (slot_rays come from the same make_ray entry
+        # computation as plain batches — recomputing the camera chain
+        # in-body is NOT bit-stable, XLA fuses the uv arithmetic
+        # differently inside the loop). Static chain over slots;
+        # advance implies pixno >= 1. Origins never change (pinhole).
+        rd_n = slot_rays[0]  # slot 1
         for k in range(2, p_count):
-            wk = pixno == k
-            ro_k, rd_k = slot_rays[k]
-            ro_n = v3lib.where(wk, ro_k, ro_n)
-            rd_n = v3lib.where(wk, rd_k, rd_n)
-        ro0 = v3lib.where(advance, ro_n, s.ro0)
+            rd_n = v3lib.where(pixno == k, slot_rays[k - 1], rd_n)
+        ro0 = s.ro0
         rd0 = v3lib.where(advance, rd_n, s.rd0)
     else:
         ro0, rd0 = s.ro0, s.rd0
@@ -865,6 +869,7 @@ def run_megakernel(
     return_state: bool = False,
     body_backend: str = "xla",
     pixels_per_lane: int = 1,
+    debug_counters: bool = False,
 ):
     """Returns (mean radiance (R*pixels_per_lane, 3), total path
     segments (scalar f32), iterations) — or the raw lane state when
@@ -954,8 +959,10 @@ def run_megakernel(
         cur0 = zeros_i - 1
         root_leaf0 = falses
 
+    if debug_counters:
+        assert max_iterations is None and body_backend != "pallas"
     lane = _Lane(
-        iters=jnp.int32(0),
+        iters=jnp.zeros((6,), jnp.int32) if debug_counters else jnp.int32(0),
         ro0=ro0, rd0=rd0, pix=pixel_index, pixno=zeros_i,
         sample=zeros_i, acc=zero3,
         accs=tuple(zero3 for _ in range(p_count)) if p_count > 1 else (),
@@ -988,7 +995,7 @@ def run_megakernel(
         # selected by pixno at advance time.
         from tpurt.core.camera import make_ray as _mk, pixel_uv as _puv
 
-        slot_list = [(ro0, rd0)]
+        slot_list = []  # directions for slots 1..P-1 (slot 0 = entry rd0)
         pi0 = pixel_index.astype(jnp.int32)
         for k in range(1, p_count):
             pk = jnp.minimum(
@@ -996,10 +1003,8 @@ def run_megakernel(
             )
             xs_k = pk % jnp.int32(width)
             ys_k = pk // jnp.int32(width)
-            ro_k, rd_k = _mk(camera, _puv(xs_k, ys_k, width, height))
-            slot_list.append(
-                (v3lib.from_rows(ro_k), v3lib.from_rows(rd_k))
-            )
+            _ro_k, rd_k = _mk(camera, _puv(xs_k, ys_k, width, height))
+            slot_list.append(v3lib.from_rows(rd_k))
         slot_rays = tuple(slot_list)
     else:
         slot_rays = ()
@@ -1011,6 +1016,8 @@ def run_megakernel(
         use_cache=use_cache,
         p_count=p_count, pixel_stride=r, width=width, height=height,
     )
+
+    rows_t = scene.mega_rows.T if e_count else None  # (W, N), hoisted
 
     def cond(s: _Lane):
         live = jnp.any(~s.done)
@@ -1037,20 +1044,51 @@ def run_megakernel(
             if e_count:
                 trav = ~s.done & (s.entry < e_count) & (s.cur >= 0)
                 idx = jnp.where(trav, s.cur, 0)
-                row = scene.mega_rows[idx]  # (R, W)
+                rowt = rows_t[:, idx]  # (W, R)
             else:
-                row = None
-            s2 = pallas_body(s, row)
+                rowt = None
+            s2 = pallas_body(s, rowt)
             return s2._replace(iters=s.iters + 1)
+    elif debug_counters:
+        def body(s: _Lane) -> _Lane:
+            # Instrumented XLA body: same math, plus lane-iteration
+            # tallies (bit-identical trajectories, so counts measured
+            # here describe the Pallas engine too).
+            live = ~s.done
+            trav = live & (s.entry < e_count) & (s.cur >= 0)
+            node = trav & ~s.cur_leaf
+            leaf = trav & s.cur_leaf
+            shade = live & (s.entry >= e_count)
+            enter = live & (s.entry < e_count) & (s.cur < 0)
+            # i32 on purpose: totals stay < 2^31 and the TPU worker has
+            # been seen crashing on emulated i64 reductions here.
+            cnt = lambda m: jnp.sum(m.astype(jnp.int32))
+            tallies = s.iters + jnp.stack([
+                jnp.int32(1), cnt(live), cnt(node), cnt(leaf), cnt(shade),
+                cnt(enter),
+            ])
+            if e_count:
+                idx = jnp.where(trav, s.cur, 0)
+                rowt = rows_t[:, idx]
+                col = lambda j: rowt[j]
+            else:
+                col = None
+            s2 = _body_math(
+                s, col, srows, mats, params, slot_rays, frame_index,
+                sample_offset, primary_ray, **body_kw,
+            )
+            return s2._replace(iters=tallies)
     else:
         def body(s: _Lane) -> _Lane:
             if e_count:
                 trav = ~s.done & (s.entry < e_count) & (s.cur >= 0)
                 idx = jnp.where(trav, s.cur, 0)
-                # One fat-row gather, then ONE transpose so each column
-                # is a contiguous (R,) lane vector (the (R, W) layout
-                # would put W on the 128-lane axis for every slice).
-                rowt = scene.mega_rows[idx].T  # (W, R)
+                # Gather along the minor axis of the PRE-transposed
+                # bank: the (W, R) layout keeps each column a
+                # contiguous (R,) lane vector, and the one transpose is
+                # loop-invariant (hoisted) instead of per-iteration —
+                # measured ~15% faster than table[idx].T per gather.
+                rowt = rows_t[:, idx]  # (W, R)
                 col = lambda j: rowt[j]
             else:
                 col = None

@@ -315,9 +315,17 @@ def _render_tile_mega_staged(
 
 def _flat_batch_size(cfg: RenderConfig) -> int:
     """Lanes per flat batch: the configured size, clamped so small
-    frames don't pad to a huge batch (rounded up to 256 lanes)."""
+    frames don't pad to a huge batch (rounded up to 256 lanes). With a
+    pixel quota the clamp divides by pixels_per_lane — covering the
+    frame in one launch with fewer lanes beats padding every lane's
+    quota with duplicate clamped pixels."""
     total = cfg.width * cfg.height
-    return min(cfg.rays_per_batch, -(-total // 256) * 256)
+    b = min(cfg.rays_per_batch, -(-total // 256) * 256)
+    if b * cfg.pixels_per_lane > 2 * total:
+        # Quota would more than double-cover the frame with padding —
+        # shrink to the minimal covering lane count instead.
+        b = -(-total // (256 * cfg.pixels_per_lane)) * 256
+    return b
 
 
 def _flat_coords(coords, batch: int, width: int, height: int):
