@@ -187,15 +187,26 @@ def main():
 
     import jax
 
+    # Persistent compilation cache: the staged ladder compiles one
+    # executable per stage width and Mosaic compiles are minutes over
+    # the tunnel — cache them across bench runs.
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/root/.cache/jax_comp")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception as e:  # older jax: flag absent
+        log(f"compilation cache unavailable: {e}")
+
     from tpurt.config import RenderConfig
 
     log(f"devices: {jax.devices()}")
 
     # pixels_per_lane=8: lanes work through 8-pixel quotas so one
     # straggler set amortises over the whole launch (measured 2.2x on
-    # the bunny ladder); compaction off — quota already equalises.
+    # the bunny ladder); staged compaction then shrinks that one
+    # straggler set (67% of lane-iterations were idle tail at P=8).
     common = dict(tile_size=args.tile_size, seed_mode="reference",
-                  pixels_per_lane=8, compaction_threshold=0)
+                  pixels_per_lane=8)
 
     results = []
     if args.ladder:

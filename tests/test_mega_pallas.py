@@ -54,6 +54,23 @@ def test_pixel_quota_matches_plain_bitwise():
     assert np.array_equal(ref, render_frame(scene, cam, cfg_q))
 
 
+def test_pixel_quota_staged_compaction_near_bitwise():
+    """Quota + host-staged compaction: the compacted tail re-runs under
+    a different executable width, where XLA may contract FMAs
+    differently — identical up to 1-ulp on a handful of pixels, same
+    tolerance class as the plain staged path
+    (test_flat_batching.test_flat_staged_compaction_near_bitwise)."""
+    cfg_plain = _cfg(width=40, height=24, rays_per_pixel=3, max_bounces=5,
+                     rays_per_batch=240, pixels_per_lane=4)
+    scene, cam, _ = default_scene(cfg_plain)
+    plain = render_frame(scene, cam, cfg_plain)
+    staged = render_frame(scene, cam, cfg_plain.replace(
+        compaction_threshold=128))
+    exact = (plain == staged).all(axis=-1)
+    assert exact.mean() > 0.99, exact.mean()
+    np.testing.assert_allclose(plain, staged, rtol=1e-5, atol=1e-7)
+
+
 def test_auto_resolves_to_xla_off_tpu():
     import jax
 

@@ -869,6 +869,7 @@ def run_megakernel(
     return_state: bool = False,
     body_backend: str = "xla",
     pixels_per_lane: int = 1,
+    pixel_stride: int = None,
     debug_counters: bool = False,
 ):
     """Returns (mean radiance (R*pixels_per_lane, 3), total path
@@ -883,9 +884,13 @@ def run_megakernel(
     render/mega_pallas.py).
 
     ``pixels_per_lane`` > 1 gives each lane a quota of pixels at stride
-    R (lane i: pix[i], pix[i]+R, ...); radiance row k*R+i is quota slot
-    k of lane i — exactly pixel start+k*R+i for the flat path's
-    row-major slices.
+    ``pixel_stride`` (default R; lane i: pix[i], pix[i]+stride, ...);
+    radiance row k*R+i is quota slot k of lane i — exactly pixel
+    start+k*stride+i for the flat path's row-major slices. A COMPACTED
+    resume (initial_state narrower than the original batch) must pass
+    the ORIGINAL stride and, as ``pixel_index``, each lane's slot-0
+    pixel (pix - pixno*stride) so the slot ray table rebuilds for the
+    right pixels.
     """
     if not isinstance(ro0, V3):
         ro0 = v3lib.from_rows(ro0)
@@ -995,11 +1000,12 @@ def run_megakernel(
         # selected by pixno at advance time.
         from tpurt.core.camera import make_ray as _mk, pixel_uv as _puv
 
+        stride = r if pixel_stride is None else int(pixel_stride)
         slot_list = []  # directions for slots 1..P-1 (slot 0 = entry rd0)
         pi0 = pixel_index.astype(jnp.int32)
         for k in range(1, p_count):
             pk = jnp.minimum(
-                pi0 + np.int32(k * r), np.int32(width * height - 1)
+                pi0 + np.int32(k * stride), np.int32(width * height - 1)
             )
             xs_k = pk % jnp.int32(width)
             ys_k = pk // jnp.int32(width)
@@ -1014,7 +1020,9 @@ def run_megakernel(
         max_bounces=max_bounces, rays_per_pixel=rays_per_pixel,
         seed_mode=seed_mode, invisible_budget=invisible_budget,
         use_cache=use_cache,
-        p_count=p_count, pixel_stride=r, width=width, height=height,
+        p_count=p_count,
+        pixel_stride=r if pixel_stride is None else int(pixel_stride),
+        width=width, height=height,
     )
 
     rows_t = scene.mega_rows.T if e_count else None  # (W, N), hoisted

@@ -221,17 +221,27 @@ def _mega_stage_start(scene, camera, coords, *, tile_h, tile_w, **statics):
 @functools.partial(jax.jit, static_argnames=(
     "width", "height", "rays_per_pixel", "max_bounces",
     "seed_mode", "invisible_budget", "subpixel_jitter", "uncapped", "body_backend",
+    "pixels_per_lane", "pixel_stride",
 ), keep_unused=True)
 def _mega_stage_more(scene, camera, state, frame_and_offset, *, uncapped=False,
-                     **statics):
+                     pixels_per_lane=1, pixel_stride=None, **statics):
     from tpurt.render.megakernel import run_megakernel
 
+    pix0 = state.pix
+    if pixels_per_lane > 1:
+        # Slot-0 pixel of each (possibly compacted/permuted) lane, so
+        # the slot ray table rebuilds for the right quota pixels.
+        pix0 = (
+            state.pix.astype(jnp.int32)
+            - state.pixno * jnp.int32(pixel_stride)
+        ).astype(jnp.uint32)
     out = run_megakernel(
-        scene, state.ro0, state.rd0, state.pix, frame_and_offset[0],
+        scene, state.ro0, state.rd0, pix0, frame_and_offset[0],
         sample_offset=frame_and_offset[1],
         camera=camera, initial_state=state,
         max_iterations=None if uncapped else _MEGA_STAGE_ITERS,
-        return_state=True, **statics,
+        return_state=True, pixels_per_lane=pixels_per_lane,
+        pixel_stride=pixel_stride, **statics,
     )
     return out, jnp.sum(~out.done)
 
@@ -250,40 +260,81 @@ def _mega_compact(state, *, quarter: int):
 
 
 @jax.jit
-def _mega_merge(state, small, idx, spp):
-    acc = jax.tree_util.tree_map(
-        lambda full, part: full.at[idx].set(part), state.acc, small.acc
+def _mega_fold(big, small, idx):
+    """Scatter a compacted batch's result-bearing leaves (radiance
+    accumulators + segment counts) back into the wider state it was
+    carved from at rows ``idx``; the other leaves of ``big`` are stale
+    but never read again."""
+    upd = lambda full, part: full.at[idx].set(part)
+    return big._replace(
+        acc=jax.tree_util.tree_map(upd, big.acc, small.acc),
+        accs=jax.tree_util.tree_map(upd, big.accs, small.accs),
+        segments=upd(big.segments, small.segments),
     )
-    segments = state.segments.at[idx].set(small.segments)
+
+
+@jax.jit
+def _mega_finalize(state, spp):
     from tpurt.core import v3 as v3lib
 
-    mean = v3lib.to_rows(acc) / spp.astype(jnp.float32)
-    return mean, jnp.sum(segments.astype(jnp.float32))
+    if len(state.accs):  # quota mode: banked per-slot accumulators
+        mean = jnp.concatenate(
+            [v3lib.to_rows(a) for a in state.accs]
+        ) / spp.astype(jnp.float32)
+    else:
+        mean = v3lib.to_rows(state.acc) / spp.astype(jnp.float32)
+    return mean, jnp.sum(state.segments.astype(jnp.float32))
 
 
-def _mega_finish_staged(scene, camera, cfg: RenderConfig, state, active, fo, r):
+def _mega_finish_staged(scene, camera, cfg: RenderConfig, state, active, fo, r,
+                        pixels_per_lane: int = 1):
     """Shared tail of the host-staged compaction driver: run capped
     stages at full width while most lanes retire, then shrink to the
     surviving quarter and let the deep tail finish without taxing every
-    lane. Returns (mean (R,3), segs)."""
+    lane. Returns (mean (R*P, 3), segs)."""
     statics = _mega_statics(cfg, cfg.width, cfg.height)
-    quarter = max(r // 4, 1024)
-    active = int(active)
-    while active > quarter:
-        state, active = _mega_stage_more(scene, camera, state, fo, **statics)
-        active = int(active)
-    if active > 0:
-        small, idx = _mega_compact(state, quarter=quarter)
-        small, _ = _mega_stage_more(
-            scene, camera, small, fo, uncapped=True, **statics
-        )
-        mean, segs = _mega_merge(state, small, idx, jnp.int32(cfg.rays_per_pixel))
-    else:
-        from tpurt.core import v3 as v3lib
+    quota = dict(pixels_per_lane=pixels_per_lane, pixel_stride=r) \
+        if pixels_per_lane > 1 else {}
 
-        mean = v3lib.to_rows(state.acc) / jnp.float32(cfg.rays_per_pixel)
-        segs = jnp.sum(state.segments.astype(jnp.float32))
-    return mean, segs
+    # Quarter-step width ladder (r/4, r/16, ... >= 1024): each level
+    # is one fixed executable width, so the Mosaic kernels compile
+    # once per level and the deep tail runs at ~its own width instead
+    # of a single quarter-width plateau (the straggler tail is the
+    # dominant cost — 67% of lane-iterations were idle before any
+    # compaction on the bunny ladder).
+    # Floor of 65536: the gather engine's FIXED per-iteration cost
+    # (~0.4 ms at 16k lanes) makes narrower widths slower per unit of
+    # work than the idle lanes they shed, and every extra level adds
+    # host round-trips + compile shapes (measured on the bunny frame:
+    # r/4 only = 21.6 Mrays/s, + r/16 = 20.8, + r/64 = 17.2).
+    widths = []
+    w = r // 4
+    while w >= 65536:
+        widths.append(w)
+        w //= 4
+    if not widths:
+        widths = [max(r // 4, 1024)]
+
+    active = int(active)
+    folds = []  # (wider_state, idx) per compaction, innermost last
+    for wq in widths:
+        while active > wq:
+            state, active = _mega_stage_more(
+                scene, camera, state, fo, **quota, **statics
+            )
+            active = int(active)
+        if active == 0:
+            break
+        small, idx = _mega_compact(state, quarter=wq)
+        folds.append((state, idx))
+        state = small
+    if active > 0:
+        state, _ = _mega_stage_more(
+            scene, camera, state, fo, uncapped=True, **quota, **statics
+        )
+    for big, idx in reversed(folds):
+        state = _mega_fold(big, state, idx)
+    return _mega_finalize(state, jnp.int32(cfg.rays_per_pixel))
 
 
 def _render_tile_mega_staged(
@@ -363,8 +414,10 @@ def _mega_flat_full(scene, camera, coords, *, batch, pixels_per_lane=1,
 @functools.partial(jax.jit, static_argnames=(
     "batch", "width", "height", "rays_per_pixel", "max_bounces",
     "seed_mode", "invisible_budget", "subpixel_jitter", "body_backend",
+    "pixels_per_lane",
 ), keep_unused=True)
-def _mega_flat_start(scene, camera, coords, *, batch, **statics):
+def _mega_flat_start(scene, camera, coords, *, batch, pixels_per_lane=1,
+                     **statics):
     from tpurt.render.megakernel import run_megakernel
 
     width, height = statics["width"], statics["height"]
@@ -374,7 +427,8 @@ def _mega_flat_start(scene, camera, coords, *, batch, **statics):
     state = run_megakernel(
         scene, ro0, rd0, pix, coords[1],
         sample_offset=coords[2], camera=camera,
-        max_iterations=_MEGA_STAGE_ITERS, return_state=True, **statics,
+        max_iterations=_MEGA_STAGE_ITERS, return_state=True,
+        pixels_per_lane=pixels_per_lane, **statics,
     )
     return state, jnp.sum(~state.done)
 
@@ -396,14 +450,17 @@ def render_batch_flat(
     statics = _mega_statics(cfg, cfg.width, cfg.height)
     coords = jnp.asarray([start, frame_index, sample_offset], jnp.int32)
     if (
-        p == 1
-        and cfg.compaction_threshold
+        cfg.compaction_threshold
         and b >= cfg.compaction_threshold
         and cfg.max_bounces > 0
     ):
         fo = jnp.asarray([frame_index, sample_offset], jnp.int32)
-        state, active = _mega_flat_start(scene, camera, coords, batch=b, **statics)
-        mean, segs = _mega_finish_staged(scene, camera, cfg, state, active, fo, b)
+        state, active = _mega_flat_start(
+            scene, camera, coords, batch=b, pixels_per_lane=p, **statics
+        )
+        mean, segs = _mega_finish_staged(
+            scene, camera, cfg, state, active, fo, b, pixels_per_lane=p
+        )
         return mean, segs, None
     mean, segs, iters = _mega_flat_full(
         scene, camera, coords, batch=b, pixels_per_lane=p, **statics
