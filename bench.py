@@ -84,31 +84,53 @@ def time_render_flat(scene, cam, cfg, repeats=2):
     default), compile excluded, best of `repeats`. Returns
     (seconds, segments, iters-or-0).
 
-    Every batch's radiance is materialised to host INSIDE the timed
-    region: on the axon backend block_until_ready can return before the
-    work drains, so only actual D2H copies are trustworthy (and a real
-    render needs the pixels on the host anyway)."""
-    from tpurt.render.renderer import _flat_batch_size, render_batch_flat
+    Every batch's DISPLAY pixels are materialised to host INSIDE the
+    timed region: on the axon backend block_until_ready can return
+    before the work drains, so only actual D2H copies are trustworthy.
+    The artifact shipped is the tonemapped uint8 frame (what a render
+    writes to output.bmp) with the tonemap on device — f32 radiance is
+    4x the bytes over a ~40 MB/s D2H tunnel and is only needed by
+    accumulation workflows."""
+    from tpurt.render.renderer import (
+        _flat_batch_size, _tonemap_dev, render_batch_flat,
+    )
 
     total = cfg.width * cfg.height
+    sflat = cfg.sample_flatten and cfg.rays_per_pixel > 1
+    spp = cfg.rays_per_pixel
+    if sflat:
+        from tpurt.render.renderer import _add_dev, _div_dev
+
+        cfg = cfg.replace(rays_per_pixel=1)
+    groups = spp if sflat else 1
     b = _flat_batch_size(cfg) * cfg.pixels_per_lane  # pixels per launch
     n_batches = -(-total // b)
 
     # Warmup / compile (both stage shapes).
     m, s, it = render_batch_flat(scene, cam, cfg, 0)
-    _ = float(s) + float(np.asarray(m).sum())
+    _ = float(s) + int(np.asarray(_tonemap_dev(m)).sum())
 
     best = None
     for _ in range(repeats):
         t0 = time.perf_counter()
         segs = 0.0
         iters = 0
+        accs = [None] * n_batches
+        for g in range(groups):
+            for i in range(n_batches):
+                m, s, it = render_batch_flat(
+                    scene, cam, cfg, i * b, sample_offset=g
+                )
+                segs += float(s)
+                if it is not None:
+                    iters += int(it)
+                if sflat:
+                    accs[i] = m if accs[i] is None else _add_dev(accs[i], m)
+                else:
+                    accs[i] = m
         for i in range(n_batches):
-            m, s, it = render_batch_flat(scene, cam, cfg, i * b)
-            segs += float(s)
-            if it is not None:
-                iters += int(it)
-            np.asarray(m)
+            m = _div_dev(accs[i], float(spp)) if sflat else accs[i]
+            np.asarray(_tonemap_dev(m))
         dt = time.perf_counter() - t0
         if best is None or dt < best[0]:
             best = (dt, segs, iters)
@@ -230,12 +252,22 @@ def main():
             RenderConfig(width=512, height=512, rays_per_pixel=256,
                          max_bounces=4, **common)))
 
-    # Config 3 — the headline: bunny-class BVH at 1080p.
-    headline = run_config(
+    # Config 3 — the headline: bunny-class BVH at 1080p. Two schedules:
+    # the reference-seed in-lane sample loop, and the sample-flattened
+    # decorrelated schedule (uniform one-path tasks; equally valid MC
+    # estimate, tested bitwise vs the ordinary decorrelated render).
+    # Headline = the faster.
+    cand = [run_config(
         "bunny-1080p-bvh", "bunny",
         RenderConfig(width=1920, height=1080, rays_per_pixel=args.spp,
-                     max_bounces=4, **common))
-    results.append(headline)
+                     max_bounces=4, **common))]
+    sflat_common = dict(common, seed_mode="decorrelated", sample_flatten=True)
+    cand.append(run_config(
+        "bunny-1080p-sflat", "bunny",
+        RenderConfig(width=1920, height=1080, rays_per_pixel=args.spp,
+                     max_bounces=4, **sflat_common)))
+    headline = max(cand, key=lambda r: r["mrays"])
+    results.extend(cand)
 
     ts = time.time()
     platform = jax.devices()[0].platform

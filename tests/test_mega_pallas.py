@@ -71,6 +71,20 @@ def test_pixel_quota_staged_compaction_near_bitwise():
     np.testing.assert_allclose(plain, staged, rtol=1e-5, atol=1e-7)
 
 
+def test_sample_flatten_matches_decorrelated_bitwise():
+    """sample_flatten (rays_per_pixel one-sample device-accumulated
+    passes) must equal the ordinary decorrelated render bitwise:
+    per-sample trajectories are pure functions of (pixel, frame,
+    sample) and the accumulation adds in the same sample order."""
+    cfg = _cfg(width=32, height=16, rays_per_pixel=3, max_bounces=4,
+               rays_per_batch=256, pixels_per_lane=2,
+               seed_mode="decorrelated")
+    scene, cam, _ = default_scene(cfg)
+    ref = render_frame(scene, cam, cfg)
+    out = render_frame(scene, cam, cfg.replace(sample_flatten=True))
+    assert np.array_equal(ref, out)
+
+
 def test_auto_resolves_to_xla_off_tpu():
     import jax
 

@@ -97,6 +97,17 @@ class RenderConfig:
     #: identical to pixels_per_lane=1 (tests/test_mega_pallas.py).
     pixels_per_lane: int = 1
 
+    #: Sample-flattened scheduling (decorrelated seed mode only): the
+    #: frame renders as rays_per_pixel one-sample passes accumulated on
+    #: device instead of each lane looping its pixel's samples. Lane
+    #: work becomes near-uniform (one path segment chain per task), so
+    #: the straggler tail shrinks from the worst PIXEL (spp x path
+    #: variance) to the worst single path. Bitwise-identical to the
+    #: ordinary decorrelated render: per-sample trajectories are pure
+    #: functions of (pixel, frame, sample) and the device accumulation
+    #: adds in the same sample order the in-lane loop uses.
+    sample_flatten: bool = False
+
     #: Lane-compaction threshold for the megakernel (single-chip path):
     #: tiles with at least this many pixels run in host-driven stages —
     #: a capped main stage, then the surviving (slowest) lanes compact
@@ -150,6 +161,12 @@ class RenderConfig:
             raise ValueError("rays_per_pixel must be positive")
         if self.pixels_per_lane < 1:
             raise ValueError("pixels_per_lane must be >= 1")
+        if self.sample_flatten and self.seed_mode != "decorrelated":
+            raise ValueError(
+                "sample_flatten requires seed_mode='decorrelated' "
+                "(reference mode's RNG stream is sequential across a "
+                "pixel's samples)"
+            )
         # Reference clamps tile size into [1, min(W, H)] (src/main.cpp:230-234).
         object.__setattr__(
             self, "tile_size", max(1, min(self.tile_size, self.width, self.height))

@@ -668,17 +668,21 @@ def _body_math(
     continuing = res.continuing & ~(res.invisible & (invis > invisible_budget))
 
     # primary cache store (sample 0, bounce 0)
-    store = (
-        (shade & ~s.c_set & (s.bounces == 0) & (s.sample == 0))
-        if use_cache else falses
-    )
-    c_set = s.c_set | store
-    c_valid = _bsel(store, w_valid, s.c_valid)
-    c_point = v3lib.where(store, w_point, s.c_point)
-    c_normal = v3lib.where(store, w_normal, s.c_normal)
-    c_back = _bsel(store, w_back, s.c_back)
-    c_mesh = jnp.where(store, w_mesh, s.c_mesh)
-    c_dst = jnp.where(store, w_dst, s.c_dst)
+    if use_cache:
+        store = shade & ~s.c_set & (s.bounces == 0) & (s.sample == 0)
+        c_set = s.c_set | store
+        c_valid = _bsel(store, w_valid, s.c_valid)
+        c_point = v3lib.where(store, w_point, s.c_point)
+        c_normal = v3lib.where(store, w_normal, s.c_normal)
+        c_back = _bsel(store, w_back, s.c_back)
+        c_mesh = jnp.where(store, w_mesh, s.c_mesh)
+        c_dst = jnp.where(store, w_dst, s.c_dst)
+    else:
+        # Cache disabled (jitter, or one sample per pixel where a
+        # replay can never fire): the fields are None so the 11 cache
+        # leaves drop out of the streamed lane state entirely.
+        c_set = c_valid = c_point = c_normal = None
+        c_back = c_mesh = c_dst = None
 
     cont = shade & continuing
     path_end = shade & ~continuing
@@ -774,8 +778,11 @@ def _body_math(
     # cached primary replay: new samples with a cache skip the chain
     # (a quota advance invalidates the cache — it belongs to the
     # finished pixel)
-    c_set = c_set & ~advance
-    replay = new_sample & c_set
+    if use_cache:
+        c_set = c_set & ~advance
+        replay = new_sample & c_set
+    else:
+        replay = falses
     restart = cont | (new_sample & ~replay)
     entry = jnp.where(restart, 0, entry)
     stack = tuple(
@@ -799,13 +806,14 @@ def _body_math(
     w_back = _bsel(restart, sb, w_back)
     w_mesh = jnp.where(restart, sm, w_mesh)
 
-    entry = jnp.where(replay, e_count, entry)
-    w_valid = _bsel(replay, c_valid, w_valid)
-    w_dst = jnp.where(replay, c_dst, w_dst)
-    w_point = v3lib.where(replay, c_point, w_point)
-    w_normal = v3lib.where(replay, c_normal, w_normal)
-    w_back = _bsel(replay, c_back, w_back)
-    w_mesh = jnp.where(replay, c_mesh, w_mesh)
+    if use_cache:
+        entry = jnp.where(replay, e_count, entry)
+        w_valid = _bsel(replay, c_valid, w_valid)
+        w_dst = jnp.where(replay, c_dst, w_dst)
+        w_point = v3lib.where(replay, c_point, w_point)
+        w_normal = v3lib.where(replay, c_normal, w_normal)
+        w_back = _bsel(replay, c_back, w_back)
+        w_mesh = jnp.where(replay, c_mesh, w_mesh)
 
     # ONE local-frame entry computation serves both transitions
     # (advancing to the next chain entry and restarting at entry 0
@@ -907,7 +915,10 @@ def run_megakernel(
     e_count = len(scene.mega_chain)
     params = _chain_params(scene) if e_count else None
     s_depth = scene.mega_stack_depth
-    use_cache = not subpixel_jitter
+    # The bounce-0 cache replays sample 0's primary intersection for
+    # later samples of the same pixel — pointless at one sample per
+    # pixel, and wrong under per-sample jitter.
+    use_cache = not subpixel_jitter and rays_per_pixel > 1
     mats = pack_materials(scene)
     srows = scene.mega_static_rows
     s_cull = scene.mega_static_cull
@@ -984,8 +995,13 @@ def run_megakernel(
         lmesh=zeros_i - 1,
         w_valid=sv, w_dst=sd,
         w_point=sp, w_normal=sn, w_back=sb, w_mesh=sm,
-        c_set=falses, c_valid=falses, c_point=zero3, c_normal=zero3,
-        c_back=falses, c_mesh=zeros_i - 1, c_dst=jnp.full((r,), _INF, _F32),
+        c_set=falses if use_cache else None,
+        c_valid=falses if use_cache else None,
+        c_point=zero3 if use_cache else None,
+        c_normal=zero3 if use_cache else None,
+        c_back=falses if use_cache else None,
+        c_mesh=zeros_i - 1 if use_cache else None,
+        c_dst=jnp.full((r,), _INF, _F32) if use_cache else None,
     )
 
     if initial_state is not None:

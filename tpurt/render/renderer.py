@@ -557,6 +557,10 @@ def render_frame(
         and cfg.rays_per_batch > 0
         and cfg.max_bounces > 0
     ):
+        if cfg.sample_flatten and cfg.rays_per_pixel > 1:
+            return _render_frame_flat_sflat(
+                scene, camera, cfg, frame_index, progress, retries
+            )
         return _render_frame_flat(scene, camera, cfg, frame_index, progress, retries)
     ts = cfg.tile_size
     tiles_x, tiles_y = cfg.tiles()
@@ -598,14 +602,67 @@ def render_frame(
     return out
 
 
+_tonemap_dev = jax.jit(tonemap)
+_add_dev = jax.jit(lambda a, b: a + b)
+_div_dev = jax.jit(lambda a, g: a / g, static_argnames=("g",))
+
+
+def _render_frame_flat_sflat(
+    scene: Scene, camera: Camera, cfg: RenderConfig, frame_index, progress,
+    retries: int = 1, as_u8: bool = False,
+) -> np.ndarray:
+    """sample_flatten driver: rays_per_pixel one-sample passes of the
+    whole frame, accumulated ON DEVICE in sample order (bitwise-equal
+    to the in-lane sample loop: per-sample trajectories are pure
+    functions of (pixel, frame, sample) in decorrelated mode, and f32
+    adds happen in the same order). One pass's lanes carry near-uniform
+    work — one path chain each — so the straggler tail is the worst
+    single path, not the worst pixel's whole sample budget."""
+    total = cfg.width * cfg.height
+    spp = cfg.rays_per_pixel
+    cfg1 = cfg.replace(rays_per_pixel=1)
+    b = _flat_batch_size(cfg1) * cfg1.pixels_per_lane  # pixels per launch
+    n_batches = -(-total // b)
+    accs = [None] * n_batches
+    for g in range(spp):
+        for i in range(n_batches):
+            attempt = 0
+            while True:
+                try:
+                    mean, _segs, _ = render_batch_flat(
+                        scene, camera, cfg1, i * b, frame_index,
+                        sample_offset=g,
+                    )
+                    accs[i] = mean if accs[i] is None else _add_dev(
+                        accs[i], mean
+                    )
+                    break
+                except _TRANSIENT_ERRORS:
+                    attempt += 1
+                    if attempt > retries:
+                        raise
+            if progress is not None:
+                progress(g * n_batches + i + 1, spp * n_batches)
+    out = np.zeros((total, 3), np.uint8 if as_u8 else np.float32)
+    for i in range(n_batches):
+        mean = _div_dev(accs[i], float(spp))
+        if as_u8:
+            mean = _tonemap_dev(mean)
+        mean_np = np.asarray(mean)
+        start = i * b
+        n = min(b, total - start)
+        out[start : start + n] = mean_np[:n]
+    return out.reshape(cfg.height, cfg.width, 3)
+
+
 def _render_frame_flat(
     scene: Scene, camera: Camera, cfg: RenderConfig, frame_index, progress,
-    retries: int = 1,
+    retries: int = 1, as_u8: bool = False,
 ) -> np.ndarray:
     total = cfg.width * cfg.height
     b = _flat_batch_size(cfg) * cfg.pixels_per_lane  # pixels per launch
     n_batches = -(-total // b)
-    out = np.zeros((total, 3), np.float32)
+    out = np.zeros((total, 3), np.uint8 if as_u8 else np.float32)
     for i in range(n_batches):
         start = i * b
         attempt = 0
@@ -614,6 +671,12 @@ def _render_frame_flat(
                 mean, _segs, _ = render_batch_flat(
                     scene, camera, cfg, start, frame_index
                 )
+                if as_u8:
+                    # Tonemap ON DEVICE and ship uint8: over a tunneled
+                    # backend the f32 radiance transfer (12 B/px at
+                    # ~40 MB/s D2H) dominates fast frames; the display
+                    # artifact is 3 B/px.
+                    mean = _tonemap_dev(mean)
                 mean_np = np.asarray(mean)
                 break
             except _TRANSIENT_ERRORS:
@@ -635,7 +698,26 @@ def render_image(
     progress=None,
     accumulator=None,
 ) -> np.ndarray:
-    """Full pipeline to display pixels (H, W, 3) uint8."""
+    """Full pipeline to display pixels (H, W, 3) uint8.
+
+    On the flat fast path the tonemap runs on device and only uint8
+    crosses the host boundary (4x less D2H than f32 radiance — the
+    frame-time bottleneck on tunneled backends). Tonemap is elementwise
+    per pixel, so device and host application are bitwise-identical.
+    """
+    if (
+        accumulator is None
+        and cfg.engine == "mega"
+        and cfg.rays_per_batch > 0
+        and cfg.max_bounces > 0
+    ):
+        if cfg.sample_flatten and cfg.rays_per_pixel > 1:
+            return _render_frame_flat_sflat(
+                scene, camera, cfg, frame_index, progress, as_u8=True
+            )
+        return _render_frame_flat(
+            scene, camera, cfg, frame_index, progress, as_u8=True
+        )
     radiance = render_frame(
         scene, camera, cfg, frame_index, progress=progress, accumulator=accumulator
     )
