@@ -241,33 +241,34 @@ def main():
         # Config 2: low-poly brute force, 720p — the speed-of-light dense
         # path (BASELINE config 2), so it runs the MXU Pluecker engine;
         # the bit-exact "exact" sweep is the tested parity anchor.
+        # (tile 256 measured faster than 720: the dense sweep's pair
+        # intermediates scale super-linearly with tile area.)
         results.append(run_config(
             "teapot-720p-bruteforce", "teapot",
             RenderConfig(width=1280, height=720, rays_per_pixel=args.spp,
                          max_bounces=4, bruteforce_threshold=1 << 30,
                          engine="modular", dense_engine="plucker", **common)))
+        # Same scene through the megakernel (BVH) for comparison.
+        results.append(run_config(
+            "teapot-720p-mega", "teapot",
+            RenderConfig(width=1280, height=720, rays_per_pixel=args.spp,
+                         max_bounces=4, **common)))
         # Config 4: Cornell 256 spp accumulation at lower res.
         results.append(run_config(
             "cornell-256spp", "sphere",
             RenderConfig(width=512, height=512, rays_per_pixel=256,
                          max_bounces=4, **common)))
 
-    # Config 3 — the headline: bunny-class BVH at 1080p. Two schedules:
-    # the reference-seed in-lane sample loop, and the sample-flattened
-    # decorrelated schedule (uniform one-path tasks; equally valid MC
-    # estimate, tested bitwise vs the ordinary decorrelated render).
-    # Headline = the faster.
-    cand = [run_config(
+    # Config 3 — the headline: bunny-class BVH at 1080p, reference-seed
+    # in-lane sample loop. (The sample-flattened decorrelated schedule
+    # measured 3.6x slower here — per-pass launch overhead and the lost
+    # primary-hit replay outweigh its uniform task sizes — so it stays
+    # a library feature, not a bench row.)
+    headline = run_config(
         "bunny-1080p-bvh", "bunny",
         RenderConfig(width=1920, height=1080, rays_per_pixel=args.spp,
-                     max_bounces=4, **common))]
-    sflat_common = dict(common, seed_mode="decorrelated", sample_flatten=True)
-    cand.append(run_config(
-        "bunny-1080p-sflat", "bunny",
-        RenderConfig(width=1920, height=1080, rays_per_pixel=args.spp,
-                     max_bounces=4, **sflat_common)))
-    headline = max(cand, key=lambda r: r["mrays"])
-    results.extend(cand)
+                     max_bounces=4, **common))
+    results.append(headline)
 
     ts = time.time()
     platform = jax.devices()[0].platform

@@ -81,6 +81,10 @@ _NINF = np.float32(-np.inf)
 # supplied N buffers but compiled program expected N+k").
 _EMPTY = np.uint32(0xFFFFFFFF)
 _SLOT_MASK = np.uint32((1 << MEGA_SLOT_BITS) - 1)
+#: Stack-entry tag: set = a RESOLVED child meta (target<<1 | is_leaf),
+#: clear = a (row << SLOT_BITS | slot) parent resume. Row indices stay
+#: < 2^26 so resume entries never set it; _EMPTY is tested first.
+_TAG = np.uint32(0x80000000)
 _EPS = np.float32(EPSILON)
 
 # Packed chain-parameter table columns (one (E, 21) f32 matrix so both
@@ -545,6 +549,8 @@ def _body_math(
         fwd = dcomp >= 0.0
         best_prio = jnp.full(lanes, MEGA_ARITY, jnp.int32)
         first_meta = zeros_i
+        second_prio = jnp.full(lanes, MEGA_ARITY, jnp.int32)
+        second_meta = zeros_i
         hit_count = zeros_i
         m8 = np.uint32(0xFF)
         for slot in range(MEGA_ARITY):
@@ -571,31 +577,52 @@ def _body_math(
             prio = jnp.where(fwd, slot, MEGA_ARITY - 1 - slot)
             hit &= (meta != 0) & (prio >= s.cur_slot)
             better = hit & (prio < best_prio)
+            second = hit & ~better & (prio < second_prio)
+            # two-best tracking: a new best demotes the old best
+            second_prio = jnp.where(
+                better, best_prio, jnp.where(second, prio, second_prio)
+            )
+            second_meta = jnp.where(
+                better, first_meta, jnp.where(second, meta, second_meta)
+            )
             best_prio = jnp.where(better, prio, best_prio)
             first_meta = jnp.where(better, meta, first_meta)
             hit_count = hit_count + hit.astype(jnp.int32)
 
         first_found = best_prio < MEGA_ARITY
         descend = node_on & first_found
-        push = descend & (hit_count >= 2)
+        # DIRECT SECOND-CHILD PUSH: the 2nd-nearest hit child's meta is
+        # pushed as a RESOLVED entry (tag bit set) so popping it costs
+        # no re-gather of this node row; a (row | slot) resume entry is
+        # only pushed when a THIRD hit child exists. Without this every
+        # extra hit child re-gathered and re-scanned the parent row.
+        push_child = descend & (hit_count >= 2)
+        push_resume = descend & (hit_count >= 3)
         pop = (node_on & ~first_found) | leaf_on
 
-        # push (row << SLOT_BITS | next priority threshold)
-        push_entry = (
+        resume_entry = (
             (jnp.where(trav, s.cur, 0).astype(jnp.uint32)
              << jnp.uint32(MEGA_SLOT_BITS))
-            | (best_prio + 1).astype(jnp.uint32)
+            | (second_prio + 1).astype(jnp.uint32)
         )
+        child_entry = _TAG | second_meta.astype(jnp.uint32)
         top = s.stack[0]
         top_empty = top == _EMPTY
         pop_shift = pop & ~top_empty
+        # cascade 1: resume push XOR pop (descend and pop are disjoint)
+        stack1 = []
+        for i in range(s_depth):
+            below = s.stack[i - 1] if i > 0 else resume_entry
+            above = s.stack[i + 1] if i + 1 < s_depth else empty_slot
+            stack1.append(jnp.where(
+                push_resume, below, jnp.where(pop_shift, above, s.stack[i])
+            ))
+        # cascade 2: the resolved 2nd child lands on top (popped first:
+        # it is the nearer of the two saved continuations)
         stack = []
         for i in range(s_depth):
-            below = s.stack[i - 1] if i > 0 else push_entry
-            above = s.stack[i + 1] if i + 1 < s_depth else empty_slot
-            stack.append(jnp.where(
-                push, below, jnp.where(pop_shift, above, s.stack[i])
-            ))
+            below = stack1[i - 1] if i > 0 else child_entry
+            stack.append(jnp.where(push_child, below, stack1[i]))
         stack = tuple(stack)
 
         cur = s.cur
@@ -605,15 +632,24 @@ def _body_math(
         cur = jnp.where(descend, first_meta >> 1, cur)
         cur_leaf = _bsel(descend, (first_meta & 1) == 1, cur_leaf)
         cur_slot = jnp.where(descend, 0, cur_slot)
-        # pop: resume a saved (row, slot) or finish the entry
+        # pop: a resolved child meta (tag bit), a saved (row, slot)
+        # resume, or finish the entry
         resume = pop & ~top_empty
-        cur = jnp.where(
-            resume, (top >> jnp.uint32(MEGA_SLOT_BITS)).astype(jnp.int32), cur
+        top_resolved = (top & _TAG) != 0
+        top_meta = top & np.uint32(0x7FFFFFFF)
+        cur_popped = jnp.where(
+            top_resolved,
+            (top_meta >> jnp.uint32(1)).astype(jnp.int32),
+            (top >> jnp.uint32(MEGA_SLOT_BITS)).astype(jnp.int32),
         )
-        cur_slot = jnp.where(
-            resume, (top & _SLOT_MASK).astype(jnp.int32), cur_slot
+        slot_popped = jnp.where(
+            top_resolved, 0, (top & _SLOT_MASK).astype(jnp.int32)
         )
-        cur_leaf = cur_leaf & ~resume  # where(resume, False, .) sans bool splat
+        cur = jnp.where(resume, cur_popped, cur)
+        cur_slot = jnp.where(resume, slot_popped, cur_slot)
+        cur_leaf = _bsel(
+            resume, top_resolved & ((top_meta & jnp.uint32(1)) == 1), cur_leaf
+        )
         cur = jnp.where(pop & top_empty, -1, cur)
 
         # ---------------- NEXT-MESH: fold + enter --------------------
@@ -914,7 +950,9 @@ def run_megakernel(
 
     e_count = len(scene.mega_chain)
     params = _chain_params(scene) if e_count else None
-    s_depth = scene.mega_stack_depth
+    # Up to TWO entries per tree level (a resolved 2nd child + a parent
+    # resume), so the register stack doubles the per-level budget.
+    s_depth = 2 * scene.mega_stack_depth
     # The bounce-0 cache replays sample 0's primary intersection for
     # later samples of the same pixel — pointless at one sample per
     # pixel, and wrong under per-sample jitter.
