@@ -58,6 +58,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed-mode", choices=["reference", "decorrelated"],
                    default=d.seed_mode)
     p.add_argument("--subpixel-jitter", action="store_true")
+    p.add_argument("--engine", choices=["mega", "modular"], default=d.engine,
+                   help="integrator: persistent-lane megakernel (fast "
+                        "path) or the modular bounce loop")
+    p.add_argument("--mega-body", choices=["auto", "xla", "pallas"],
+                   default=d.mega_body,
+                   help="megakernel loop-body backend (auto: Pallas on "
+                        "TPU, XLA elsewhere)")
+    p.add_argument("--pixels-per-lane", type=int, default=d.pixels_per_lane,
+                   help="pixel quota per megakernel lane (work "
+                        "equalisation; 8 is the measured TPU sweet spot)")
+    p.add_argument("--rays-per-batch", type=int, default=d.rays_per_batch,
+                   help="lanes per flat megakernel launch (0 = tile loop)")
     p.add_argument("--output", default="output.bmp")
     p.add_argument("--checkpoint", default=None,
                    help="npz tile accumulator path for resume/preview")
@@ -150,6 +162,9 @@ def main(argv=None) -> int:
         tile_size=args.tile_size, object_path=args.object_path,
         seed_mode=args.seed_mode, subpixel_jitter=args.subpixel_jitter,
         video_frame_count=args.frames, video_output_dir=args.video_dir,
+        engine=args.engine, mega_body=args.mega_body,
+        pixels_per_lane=args.pixels_per_lane,
+        rays_per_batch=args.rays_per_batch,
     )
 
     from tpurt.scene.presets import default_scene

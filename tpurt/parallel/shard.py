@@ -85,6 +85,8 @@ def _render_sharded_impl(
             bruteforce_threshold=cfg.bruteforce_threshold,
             subpixel_jitter=cfg.subpixel_jitter,
             engine=cfg.engine,
+            dense_engine=cfg.dense_engine,
+            body_backend=cfg.mega_body,
         )
         if n_sample > 1:
             # Mean of per-shard means over equal shares == global mean.

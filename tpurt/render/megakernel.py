@@ -1095,6 +1095,13 @@ def run_megakernel(
         except Exception:
             on_tpu = False
         body_backend = "pallas" if on_tpu else "xla"
+    if body_backend == "pallas" and unroll == 1:
+        # Two kernel launches per while_loop trip halve the cond-sync
+        # count (measured +6% on the bunny frame); trajectories are
+        # unchanged — an unrolled body just advances one more
+        # iteration, which is always valid. XLA-body keeps unroll=1
+        # (it doubles an already-huge loop body for CPU compiles).
+        unroll = 2
     if body_backend == "pallas" and not subpixel_jitter:
         from tpurt.render.mega_pallas import make_pallas_body
 
