@@ -76,12 +76,12 @@ def _pack_q_words(qlo, qhi):
 #: visited per path segment, which is the traversal currency.
 MEGA_ROW_WIDTH = 160
 #: Children per node row.
-MEGA_ARITY = 16
+MEGA_ARITY = 32
 #: Inline exact triangles per leaf row.
 MEGA_LEAF_TRIS = 8
 #: Bits reserved for the resume-slot in packed stack entries
 #: (must hold MEGA_ARITY + 1 values).
-MEGA_SLOT_BITS = 5
+MEGA_SLOT_BITS = 6
 #: Triangle budget for the inline static stage: identity-transform
 #: meshes whose combined size fits are MT-tested densely in the shade
 #: iteration (VPU work paid once per iteration) instead of traversed.
