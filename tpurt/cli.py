@@ -22,6 +22,17 @@ import numpy as np
 from tpurt.config import RenderConfig
 
 
+def _on_tpu_backend() -> bool:
+    """True when the default JAX backend is a TPU (incl. the axon
+    tunnel) — called after backend selection (--cpu) has happened."""
+    try:
+        import jax
+
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:
+        return False
+
+
 def _prompt(label: str, default, cast):
     """parseDefaultInput semantics: empty line keeps the default;
     unparseable input falls back to the default with a warning."""
@@ -65,9 +76,10 @@ def build_parser() -> argparse.ArgumentParser:
                    default=d.mega_body,
                    help="megakernel loop-body backend (auto: Pallas on "
                         "TPU, XLA elsewhere)")
-    p.add_argument("--pixels-per-lane", type=int, default=d.pixels_per_lane,
+    p.add_argument("--pixels-per-lane", type=int, default=None,
                    help="pixel quota per megakernel lane (work "
-                        "equalisation; 8 is the measured TPU sweet spot)")
+                        "equalisation). Default: 8 on TPU backends — "
+                        "the measured sweet spot — and 1 elsewhere")
     p.add_argument("--rays-per-batch", type=int, default=d.rays_per_batch,
                    help="lanes per flat megakernel launch (0 = tile loop)")
     p.add_argument("--output", default="output.bmp")
@@ -163,7 +175,11 @@ def main(argv=None) -> int:
         seed_mode=args.seed_mode, subpixel_jitter=args.subpixel_jitter,
         video_frame_count=args.frames, video_output_dir=args.video_dir,
         engine=args.engine, mega_body=args.mega_body,
-        pixels_per_lane=args.pixels_per_lane,
+        pixels_per_lane=(
+            args.pixels_per_lane
+            if args.pixels_per_lane is not None
+            else (8 if _on_tpu_backend() else 1)
+        ),
         rays_per_batch=args.rays_per_batch,
     )
 
