@@ -1,4 +1,4 @@
-"""Persistent-lane megakernel integrator over a 16-wide BVH.
+"""Persistent-lane megakernel integrator over a wide (MEGA_ARITY) BVH.
 
 The TPU fast path. Measured physics of this backend (see
 notes/tpu_measurements.md): the row gather costs a fixed ~16-35 ns per
@@ -11,8 +11,8 @@ is (LOOP ITERATIONS) x (LANES), which drives the design:
     a state machine, so iterations approach the per-lane mean work
     instead of the product of per-phase maxima that a nested-loop
     renderer pays.
-  * 16-WIDE BVH nodes + 8-triangle leaf rows in one W=160 bank. Row
-    width is free, so each node row carries sixteen children's uint8-
+  * WIDE BVH nodes (MEGA_ARITY=32) + 8-triangle leaf rows in one
+    W=160 bank. Row width is free, so a node row carries 32 uint8-
     quantised boxes (per-node grid, conservative) and their targets;
     leaf rows carry up to eight exact-f32 triangles inline (subtrees
     with <= 8 tris collapse into one row). Rows visited per path
