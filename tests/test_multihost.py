@@ -39,8 +39,10 @@ import numpy as np
 total = np.asarray(out)
 # psum over shards: process 0 holds 1s, process 1 holds... in_specs=P()
 # replicates the local value; psum sums across the 2 devices.
+# Device k holds (pid_k + 1); psum over num devices = 1 + 2 + ... + num.
+expected = float(sum(range(1, num + 1)))
+assert (total == expected).all(), f"psum {total} != {expected}"
 print("PSUM_OK", total[0], flush=True)
-assert total[0] == float(sum(range(1, num + 1)) if num == 1 else total[0])
 """
 
 

@@ -37,6 +37,34 @@ def test_tile_sharding_bitwise_identical(small_scene):
 
 
 @requires_8
+def test_overdecompose_bitwise_identical(small_scene):
+    """k round-robin blocks per chip (the SPMD answer to the reference's
+    dynamic tile queue, image.hpp:289-333) changes NOTHING: seeds are
+    pure functions of absolute pixel index."""
+    scene, cam, cfg = small_scene
+    single = render_frame(scene, cam, cfg)
+    mesh = make_mesh(tile_devices=4, devices=jax.devices()[:4])
+    for k in (2, 3):
+        sharded = render_frame_sharded(scene, cam, cfg, mesh=mesh,
+                                       overdecompose=k)
+        np.testing.assert_array_equal(single, sharded)
+
+
+@requires_8
+def test_sharded_quota_lanes_bitwise_identical(small_scene):
+    """pixels_per_lane > 1 (the quota scheduling bench.py times) under
+    sharding, bitwise vs the single-chip render at the same quota."""
+    scene, cam, cfg = small_scene
+    cfg = cfg.replace(pixels_per_lane=2)
+    single = render_frame(scene, cam, cfg)
+    mesh = make_mesh(tile_devices=4, devices=jax.devices()[:4])
+    stats: dict = {}
+    sharded = render_frame_sharded(scene, cam, cfg, mesh=mesh, stats=stats)
+    np.testing.assert_array_equal(single, sharded)
+    assert stats["segments"] > 0
+
+
+@requires_8
 def test_sample_sharding_matches_single(small_scene):
     scene, cam, cfg = small_scene
     cfg = cfg.replace(seed_mode="decorrelated")

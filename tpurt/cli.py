@@ -106,6 +106,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "(DCN); requires --num-processes and --process-id")
     p.add_argument("--num-processes", type=int, default=None)
     p.add_argument("--process-id", type=int, default=None)
+    p.add_argument("--overdecompose", type=int, default=1, metavar="K",
+                   help="round-robin pixel blocks per tile-axis device "
+                        "(load balance for non-uniform scenes; mega "
+                        "engine only)")
     p.add_argument("--single-chip", action="store_true",
                    help="host tile loop on one device (no shard_map)")
     p.add_argument("--interactive", action="store_true",
@@ -204,6 +208,7 @@ def main(argv=None) -> int:
 
     live = sys.stderr.isatty()
     t0 = time.perf_counter()
+    stats: dict = {}  # filled with {"segments": N} where the path supports it
 
     if args.view:
         from tpurt.viewer import run_terminal
@@ -233,7 +238,9 @@ def main(argv=None) -> int:
         acc = (
             TileAccumulator(cfg, path=args.checkpoint) if args.checkpoint else None
         )
-        radiance = render_frame(scene, camera, cfg, progress=prog, accumulator=acc)
+        radiance = render_frame(
+            scene, camera, cfg, progress=prog, accumulator=acc, stats=stats
+        )
         prog.finish()
     else:
         from tpurt.parallel import make_mesh, mesh_info, render_frame_sharded
@@ -246,18 +253,29 @@ def main(argv=None) -> int:
         mesh = make_mesh(args.tile_devices, args.sample_devices,
                          devices=devices)
         print(mesh_info(mesh))
-        radiance = render_frame_sharded(scene, camera, cfg, mesh=mesh)
+        radiance = render_frame_sharded(
+            scene, camera, cfg, mesh=mesh,
+            overdecompose=args.overdecompose, stats=stats,
+        )
 
     elapsed = time.perf_counter() - t0
     import jax.numpy as jnp
 
     write_bmp(args.output, np.asarray(tonemap(jnp.asarray(radiance))))
-    mrays = mrays_per_second(
-        cfg.width, cfg.height, cfg.rays_per_pixel, 1.0, elapsed
-    )
+    if stats.get("segments"):
+        # Exact path-segment count from the integrator (the true "rays"
+        # of Mrays/s — rays = W*H*spp*avg_path_length, SURVEY.md §6).
+        rate = f"{stats['segments'] / elapsed / 1e6:.1f} Mrays/s"
+    else:
+        # Paths without segment accounting report the primary-ray lower
+        # bound (avg path length >= 1.0).
+        mrays = mrays_per_second(
+            cfg.width, cfg.height, cfg.rays_per_pixel, 1.0, elapsed
+        )
+        rate = f">= {mrays:.1f} Mrays/s"
     print(
         f"Rendered {cfg.width}x{cfg.height} @ {cfg.rays_per_pixel} spp in "
-        f"{elapsed:.2f}s (>= {mrays:.1f} Mrays/s) -> {args.output}"
+        f"{elapsed:.2f}s ({rate}) -> {args.output}"
     )
     return 0
 

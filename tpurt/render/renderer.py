@@ -193,12 +193,14 @@ def _mega_statics(cfg: RenderConfig, width: int, height: int) -> dict:
         rays_per_pixel=cfg.rays_per_pixel, max_bounces=cfg.max_bounces,
         seed_mode=cfg.seed_mode, invisible_budget=cfg.invisible_budget,
         subpixel_jitter=cfg.subpixel_jitter, body_backend=cfg.mega_body,
+        interleave=cfg.mega_interleave,
     )
 
 
 @functools.partial(jax.jit, static_argnames=(
     "tile_h", "tile_w", "width", "height", "rays_per_pixel", "max_bounces",
     "seed_mode", "invisible_budget", "subpixel_jitter", "body_backend",
+    "interleave",
 ), keep_unused=True)
 def _mega_stage_start(scene, camera, coords, *, tile_h, tile_w, **statics):
     from tpurt.render.megakernel import run_megakernel
@@ -221,7 +223,7 @@ def _mega_stage_start(scene, camera, coords, *, tile_h, tile_w, **statics):
 @functools.partial(jax.jit, static_argnames=(
     "width", "height", "rays_per_pixel", "max_bounces",
     "seed_mode", "invisible_budget", "subpixel_jitter", "uncapped", "body_backend",
-    "pixels_per_lane", "pixel_stride",
+    "pixels_per_lane", "pixel_stride", "interleave",
 ), keep_unused=True)
 def _mega_stage_more(scene, camera, state, frame_and_offset, *, uncapped=False,
                      pixels_per_lane=1, pixel_stride=None, **statics):
@@ -393,7 +395,7 @@ def _flat_coords(coords, batch: int, width: int, height: int):
 @functools.partial(jax.jit, static_argnames=(
     "batch", "width", "height", "rays_per_pixel", "max_bounces",
     "seed_mode", "invisible_budget", "subpixel_jitter", "body_backend",
-    "pixels_per_lane",
+    "pixels_per_lane", "interleave",
 ), keep_unused=True)
 def _mega_flat_full(scene, camera, coords, *, batch, pixels_per_lane=1,
                     **statics):
@@ -414,7 +416,7 @@ def _mega_flat_full(scene, camera, coords, *, batch, pixels_per_lane=1,
 @functools.partial(jax.jit, static_argnames=(
     "batch", "width", "height", "rays_per_pixel", "max_bounces",
     "seed_mode", "invisible_budget", "subpixel_jitter", "body_backend",
-    "pixels_per_lane",
+    "pixels_per_lane", "interleave",
 ), keep_unused=True)
 def _mega_flat_start(scene, camera, coords, *, batch, pixels_per_lane=1,
                      **statics):
@@ -530,6 +532,7 @@ def render_frame(
     progress=None,
     accumulator=None,
     retries: int = 1,
+    stats: Optional[dict] = None,
 ) -> np.ndarray:
     """Full-frame mean radiance (H, W, 3) float32, single chip.
 
@@ -550,6 +553,11 @@ def render_frame(
     rendered as flat rays_per_batch lane batches (bitwise-identical to
     the tile sweep; see render_batch_flat) — tiles only exist for
     checkpoint/preview granularity.
+
+    ``stats``: pass a dict to receive {"segments": float} — the exact
+    path-segment count of the frame (the "rays" of Mrays/s; resumed
+    tiles from an accumulator contribute no segments since no rays were
+    traced for them this run).
     """
     if (
         accumulator is None
@@ -559,13 +567,17 @@ def render_frame(
     ):
         if cfg.sample_flatten and cfg.rays_per_pixel > 1:
             return _render_frame_flat_sflat(
-                scene, camera, cfg, frame_index, progress, retries
+                scene, camera, cfg, frame_index, progress, retries,
+                stats=stats,
             )
-        return _render_frame_flat(scene, camera, cfg, frame_index, progress, retries)
+        return _render_frame_flat(
+            scene, camera, cfg, frame_index, progress, retries, stats=stats
+        )
     ts = cfg.tile_size
     tiles_x, tiles_y = cfg.tiles()
     out = np.zeros((cfg.height, cfg.width, 3), np.float32)
     done = 0
+    total_segs = 0.0
     for ty in range(tiles_y):
         for tx in range(tiles_x):
             if accumulator is not None and accumulator.has_tile(tx, ty):
@@ -580,14 +592,15 @@ def render_frame(
             attempt = 0
             while True:
                 try:
-                    tile = render_tile(
+                    tile, segs = render_tile_with_stats(
                         scene, camera, cfg,
                         x0=tx * ts, y0=ty * ts, tile_h=ts, tile_w=ts,
                         frame_index=frame_index,
                     )
                     tile_np = np.asarray(tile)
+                    total_segs += float(segs)
                     break
-                except Exception:
+                except _TRANSIENT_ERRORS:
                     attempt += 1
                     if attempt > retries:
                         raise
@@ -599,6 +612,8 @@ def render_frame(
             done += 1
             if progress is not None:
                 progress(done, tiles_x * tiles_y)
+    if stats is not None:
+        stats["segments"] = total_segs
     return out
 
 
@@ -609,7 +624,7 @@ _div_dev = jax.jit(lambda a, g: a / g, static_argnames=("g",))
 
 def _render_frame_flat_sflat(
     scene: Scene, camera: Camera, cfg: RenderConfig, frame_index, progress,
-    retries: int = 1, as_u8: bool = False,
+    retries: int = 1, as_u8: bool = False, stats: Optional[dict] = None,
 ) -> np.ndarray:
     """sample_flatten driver: rays_per_pixel one-sample passes of the
     whole frame, accumulated ON DEVICE in sample order (bitwise-equal
@@ -624,15 +639,17 @@ def _render_frame_flat_sflat(
     b = _flat_batch_size(cfg1) * cfg1.pixels_per_lane  # pixels per launch
     n_batches = -(-total // b)
     accs = [None] * n_batches
+    total_segs = 0.0
     for g in range(spp):
         for i in range(n_batches):
             attempt = 0
             while True:
                 try:
-                    mean, _segs, _ = render_batch_flat(
+                    mean, segs, _ = render_batch_flat(
                         scene, camera, cfg1, i * b, frame_index,
                         sample_offset=g,
                     )
+                    total_segs += float(segs)
                     accs[i] = mean if accs[i] is None else _add_dev(
                         accs[i], mean
                     )
@@ -643,6 +660,8 @@ def _render_frame_flat_sflat(
                         raise
             if progress is not None:
                 progress(g * n_batches + i + 1, spp * n_batches)
+    if stats is not None:
+        stats["segments"] = total_segs
     out = np.zeros((total, 3), np.uint8 if as_u8 else np.float32)
     for i in range(n_batches):
         mean = _div_dev(accs[i], float(spp))
@@ -657,20 +676,22 @@ def _render_frame_flat_sflat(
 
 def _render_frame_flat(
     scene: Scene, camera: Camera, cfg: RenderConfig, frame_index, progress,
-    retries: int = 1, as_u8: bool = False,
+    retries: int = 1, as_u8: bool = False, stats: Optional[dict] = None,
 ) -> np.ndarray:
     total = cfg.width * cfg.height
     b = _flat_batch_size(cfg) * cfg.pixels_per_lane  # pixels per launch
     n_batches = -(-total // b)
     out = np.zeros((total, 3), np.uint8 if as_u8 else np.float32)
+    total_segs = 0.0
     for i in range(n_batches):
         start = i * b
         attempt = 0
         while True:
             try:
-                mean, _segs, _ = render_batch_flat(
+                mean, segs, _ = render_batch_flat(
                     scene, camera, cfg, start, frame_index
                 )
+                total_segs += float(segs)
                 if as_u8:
                     # Tonemap ON DEVICE and ship uint8: over a tunneled
                     # backend the f32 radiance transfer (12 B/px at
@@ -687,6 +708,8 @@ def _render_frame_flat(
         out[start : start + n] = mean_np[:n]
         if progress is not None:
             progress(i + 1, n_batches)
+    if stats is not None:
+        stats["segments"] = total_segs
     return out.reshape(cfg.height, cfg.width, 3)
 
 
