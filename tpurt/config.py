@@ -22,6 +22,17 @@ EPSILON = 1e-6
 #: Index of refraction of the surrounding medium (ref: src/Trace.cl:7).
 IOR_AIR = 1.0
 
+#: Mesh/chain-entry count above which per-lane parameter fetches switch
+#: from unrolled broadcast-select chains to real gathers. Selects are
+#: measured-right at K<=8 (each is one fused VPU op; a gather inside the
+#: loop costs a fixed ~0.2-0.35 ms), but the select chains grow the loop
+#: body O(K) per call site, so compile time and body size become
+#: unusable around K~100 (the reference's mesh loop, src/Trace.cl:444-482,
+#: is O(K) per ray at RUNTIME — the select form is O(K) in CODE size
+#: too). Above this threshold the megakernel also forces the XLA loop
+#: body: Mosaic has no dynamic-gather lowering on this toolchain.
+SELECT_GATHER_THRESHOLD = 24
+
 
 @dataclasses.dataclass(frozen=True)
 class RenderConfig:
@@ -132,6 +143,17 @@ class RenderConfig:
     #: elsewhere. Ignored with subpixel_jitter (falls back to "xla").
     mega_body: str = "auto"
 
+    #: Interleaved megakernel sub-batches: the flat batch splits into
+    #: this many independent sub-batches stepped back-to-back inside
+    #: one while_loop iteration, so each sub-batch's BVH row gather
+    #: (an XLA dynamic-gather the TPU issues as DMA) overlaps the
+    #: previous sub-batch's fused Pallas body — two chained
+    #: gather+pallas half-batches measured ~4x per-row vs one chain on
+    #: the v5e (scripts/probe_r3b.py). Bitwise-identical to 1 (lane
+    #: trajectories are independent). Ignored when the batch does not
+    #: split 128-lane-aligned.
+    mega_interleave: int = 1
+
     #: Dense-sweep backend for brute-force intersection (modular engine
     #: + fused static pass). ``"exact"`` is the broadcast VPU form,
     #: bit-identical to the scalar oracle. ``"plucker"`` rewrites MT as
@@ -161,6 +183,8 @@ class RenderConfig:
             raise ValueError("rays_per_pixel must be positive")
         if self.pixels_per_lane < 1:
             raise ValueError("pixels_per_lane must be >= 1")
+        if self.mega_interleave < 1:
+            raise ValueError("mega_interleave must be >= 1")
         if self.sample_flatten and self.seed_mode != "decorrelated":
             raise ValueError(
                 "sample_flatten requires seed_mode='decorrelated' "

@@ -60,6 +60,7 @@ from typing import NamedTuple, Tuple
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -225,8 +226,18 @@ def _bsel(c, a, b):
     return (c & a) | (~c & b)
 
 def _sel(table, entry: jnp.ndarray, e_count: int, col: int) -> jnp.ndarray:
-    """Gather-free per-lane select of table[:, col] by entry index ->
-    lane-shaped f32."""
+    """Per-lane fetch of table[entry, col] -> lane-shaped f32.
+
+    Below SELECT_GATHER_THRESHOLD entries this is a chain of broadcast
+    selects (one fused VPU op each — measured faster than any in-loop
+    gather at small K, and the only form Mosaic can lower). Above it,
+    a real gather: the select chain's O(K) body growth per call site
+    makes K~100 scenes uncompilable (run_megakernel forces the XLA
+    body in that regime)."""
+    from tpurt.config import SELECT_GATHER_THRESHOLD
+
+    if e_count > SELECT_GATHER_THRESHOLD:
+        return table[entry, col]
     out = jnp.zeros(entry.shape, _F32)
     for i in range(e_count):
         out = jnp.where(entry == i, table[i, col], out)
@@ -242,6 +253,13 @@ def _sel_v3(table, entry: jnp.ndarray, e_count: int, col: int) -> V3:
 
 
 def _sel_static(values, entry: jnp.ndarray, e_count: int, dtype) -> jnp.ndarray:
+    from tpurt.config import SELECT_GATHER_THRESHOLD
+
+    if e_count > SELECT_GATHER_THRESHOLD:
+        # Gather regime (XLA body only — see _sel): build-time-static
+        # tuples become device constants indexed per lane.
+        tab = jnp.asarray(np.asarray(values, dtype))
+        return tab[entry]
     if dtype is bool:
         # Pure i1 logic (no bool-scalar where — Mosaic cannot splat i1).
         out = _bool_full(entry.shape, False)
@@ -341,7 +359,18 @@ def _mt_inline(lo: V3, ld: V3, col, base, cull):
 def _static_cull(mats, num_meshes: int, owner: jnp.ndarray) -> jnp.ndarray:
     """Backface-cull policy by owner mesh id (cull unless
     Glassy/Invisible/OneSided, Trace.cl:460-462)."""
+    from tpurt.config import SELECT_GATHER_THRESHOLD
     from tpurt.render.shading import MAT_TYPE
+
+    if num_meshes > SELECT_GATHER_THRESHOLD:
+        # Gather regime (XLA body only — see _sel).
+        mt = mats[jnp.clip(owner, 0, num_meshes - 1), MAT_TYPE]
+        c = (
+            (mt != float(int(MaterialType.GLASSY)))
+            & (mt != float(int(MaterialType.INVISIBLE)))
+            & (mt != float(int(MaterialType.ONE_SIDED)))
+        )
+        return c | (owner < 0) | (owner >= num_meshes)
 
     # The policy rides as f32 0/1 through the select chain: broadcasting
     # a SCALAR bool into a lane vector makes Mosaic splat i8 and
@@ -915,6 +944,7 @@ def run_megakernel(
     pixels_per_lane: int = 1,
     pixel_stride: int = None,
     debug_counters: bool = False,
+    interleave: int = 1,
 ):
     """Returns (mean radiance (R*pixels_per_lane, 3), total path
     segments (scalar f32), iterations) — or the raw lane state when
@@ -935,6 +965,13 @@ def run_megakernel(
     the ORIGINAL stride and, as ``pixel_index``, each lane's slot-0
     pixel (pix - pixno*stride) so the slot ray table rebuilds for the
     right pixels.
+
+    ``interleave`` > 1 splits the batch into that many independent
+    sub-batches stepped back-to-back per while_loop iteration so each
+    sub-batch's row gather overlaps the previous one's Pallas body
+    (measured ~4x per-row on the v5e, scripts/probe_r3b.py). Bitwise-
+    identical to interleave=1; falls back to 1 when the batch does not
+    split into 128-lane-aligned parts.
     """
     if not isinstance(ro0, V3):
         ro0 = v3lib.from_rows(ro0)
@@ -1081,20 +1118,22 @@ def run_megakernel(
 
     rows_t = scene.mega_rows.T if e_count else None  # (W, N), hoisted
 
-    def cond(s: _Lane):
-        live = jnp.any(~s.done)
-        if iter_cap is not None:
-            live &= s.iters < iter_cap
-        return live
-
     if body_backend == "auto":
         try:
-            import jax
-
             on_tpu = jax.devices()[0].platform in ("tpu", "axon")
         except Exception:
             on_tpu = False
         body_backend = "pallas" if on_tpu else "xla"
+    from tpurt.config import SELECT_GATHER_THRESHOLD
+
+    if e_count > SELECT_GATHER_THRESHOLD or num_meshes > SELECT_GATHER_THRESHOLD:
+        # Many-instance regime: parameter fetches are real gathers
+        # (_sel/_sel_static/select_material_soa), which Mosaic cannot
+        # lower — the loop body runs as XLA ops. Costs ~0.2-0.35 ms of
+        # fixed gather latency per fetch site per iteration, but keeps
+        # compile time and body size O(1) in the instance count where
+        # the select chains grow O(K) per call site (unusable ~K=100).
+        body_backend = "xla"
     if body_backend == "pallas" and unroll == 1:
         # Two kernel launches per while_loop trip halve the cond-sync
         # count (measured +6% on the bunny frame); trajectories are
@@ -1102,22 +1141,55 @@ def run_megakernel(
         # iteration, which is always valid. XLA-body keeps unroll=1
         # (it doubles an already-huge loop body for CPU compiles).
         unroll = 2
+
+    # Interleaved sub-batches: split the R lanes into k INDEPENDENT
+    # sub-states stepped back-to-back inside one while_loop iteration
+    # (gather_0, body_0, gather_1, body_1, ...). Sub-state j's gather
+    # depends only on j's previous body, so XLA's async scheduler
+    # overlaps it with sub-state j-1's Pallas body — measured 46 ->
+    # 12 ns/row on the v5e for two chained gather+pallas half-batches
+    # (scripts/probe_r3b.py). Per-lane trajectories are untouched, so
+    # results are bitwise-identical to interleave=1; the loop still
+    # runs until ALL sub-batches drain (same idle accounting).
+    k_il = max(1, int(interleave))
+    if r % k_il != 0 or (r // k_il) % 128 != 0:
+        k_il = 1  # pallas blocks need 128-lane alignment per sub-batch
+    if debug_counters:
+        assert k_il == 1, "debug_counters requires interleave=1"
+    m_il = r // k_il
+
+    def _sub(tree, j):
+        return jax.tree_util.tree_map(
+            lambda a: (
+                a[j * m_il : (j + 1) * m_il]
+                if getattr(a, "ndim", 0) >= 1 and a.shape[0] == r
+                else a
+            ),
+            tree,
+        )
+
     if body_backend == "pallas" and not subpixel_jitter:
         from tpurt.render.mega_pallas import make_pallas_body
 
-        pallas_body = make_pallas_body(
-            scene, params, slot_rays, frame_index, sample_offset, body_kw
-        )
+        bodies = []
+        for j in range(k_il):
+            pallas_body = make_pallas_body(
+                scene, params, _sub(slot_rays, j), frame_index,
+                sample_offset, body_kw,
+            )
 
-        def body(s: _Lane) -> _Lane:
-            if e_count:
-                trav = ~s.done & (s.entry < e_count) & (s.cur >= 0)
-                idx = jnp.where(trav, s.cur, 0)
-                rowt = rows_t[:, idx]  # (W, R)
-            else:
-                rowt = None
-            s2 = pallas_body(s, rowt)
-            return s2._replace(iters=s.iters + 1)
+            def body(s: _Lane, pallas_body=pallas_body) -> _Lane:
+                if e_count:
+                    trav = ~s.done & (s.entry < e_count) & (s.cur >= 0)
+                    idx = jnp.where(trav, s.cur, 0)
+                    rowt = rows_t[:, idx]  # (W, R)
+                else:
+                    rowt = None
+                s2 = pallas_body(s, rowt)
+                return s2._replace(iters=s.iters + 1)
+
+            bodies.append(body)
+        body = bodies[0]
     elif debug_counters:
         def body(s: _Lane) -> _Lane:
             # Instrumented XLA body: same math, plus lane-iteration
@@ -1147,32 +1219,75 @@ def run_megakernel(
                 sample_offset, primary_ray, **body_kw,
             )
             return s2._replace(iters=tallies)
+
+        bodies = [body]
     else:
-        def body(s: _Lane) -> _Lane:
-            if e_count:
-                trav = ~s.done & (s.entry < e_count) & (s.cur >= 0)
-                idx = jnp.where(trav, s.cur, 0)
-                # Gather along the minor axis of the PRE-transposed
-                # bank: the (W, R) layout keeps each column a
-                # contiguous (R,) lane vector, and the one transpose is
-                # loop-invariant (hoisted) instead of per-iteration —
-                # measured ~15% faster than table[idx].T per gather.
-                rowt = rows_t[:, idx]  # (W, R)
-                col = lambda j: rowt[j]
-            else:
-                col = None
-            s2 = _body_math(
-                s, col, srows, mats, params, slot_rays, frame_index,
-                sample_offset, primary_ray, **body_kw,
-            )
-            return s2._replace(iters=s.iters + 1)
+        bodies = []
+        for j in range(k_il):
+            def body(s: _Lane, slot_rays=_sub(slot_rays, j)) -> _Lane:
+                if e_count:
+                    trav = ~s.done & (s.entry < e_count) & (s.cur >= 0)
+                    idx = jnp.where(trav, s.cur, 0)
+                    # Gather along the minor axis of the PRE-transposed
+                    # bank: the (W, R) layout keeps each column a
+                    # contiguous (R,) lane vector, and the one transpose is
+                    # loop-invariant (hoisted) instead of per-iteration —
+                    # measured ~15% faster than table[idx].T per gather.
+                    rowt = rows_t[:, idx]  # (W, R)
+                    col = lambda j: rowt[j]
+                else:
+                    col = None
+                s2 = _body_math(
+                    s, col, srows, mats, params, slot_rays, frame_index,
+                    sample_offset, primary_ray, **body_kw,
+                )
+                return s2._replace(iters=s.iters + 1)
 
-    def body_unrolled(s: _Lane) -> _Lane:
-        for _ in range(unroll):
-            s = body(s)
-        return s
+            bodies.append(body)
 
-    final = lax.while_loop(cond, body_unrolled, lane)
+    if k_il == 1:
+        def cond(s: _Lane):
+            live = jnp.any(~s.done)
+            if iter_cap is not None:
+                live &= s.iters < iter_cap
+            return live
+
+        def body_unrolled(s: _Lane) -> _Lane:
+            for _ in range(unroll):
+                s = bodies[0](s)
+            return s
+
+        final = lax.while_loop(cond, body_unrolled, lane)
+    else:
+        subs = tuple(_sub(lane, j) for j in range(k_il))
+
+        def cond(ss):
+            live = jnp.any(~ss[0].done)
+            for s in ss[1:]:
+                live |= jnp.any(~s.done)
+            if iter_cap is not None:
+                live &= ss[0].iters < iter_cap
+            return live
+
+        def body_unrolled(ss):
+            ss = list(ss)
+            for _ in range(unroll):
+                for j in range(k_il):
+                    ss[j] = bodies[j](ss[j])
+            return tuple(ss)
+
+        finals = lax.while_loop(cond, body_unrolled, subs)
+        # Re-assemble the full-width state (sub j held lanes
+        # [j*m, (j+1)*m)) so callers — the staged-compaction driver and
+        # the finalisers below — see exactly the interleave=1 layout.
+        final = jax.tree_util.tree_map(
+            lambda *xs: (
+                jnp.concatenate(xs)
+                if getattr(xs[0], "ndim", 0) >= 1 and xs[0].shape[0] == m_il
+                else xs[0]
+            ),
+            *finals,
+        )
     if return_state:
         return final
     if p_count > 1:

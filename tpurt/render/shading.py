@@ -85,7 +85,23 @@ def select_material_soa(mats, num_meshes: int, mesh_idx: jnp.ndarray):
     """Gather-free material fetch: chain of broadcast selects over the
     static mesh count. ``mats`` is the (K, 11) pack_materials table (a
     jnp array or a Pallas ref slice-reader). Returns per-lane material
-    fields (colors as V3); mtype stays f32 (exact small ints)."""
+    fields (colors as V3); mtype stays f32 (exact small ints).
+
+    Above SELECT_GATHER_THRESHOLD meshes the chain becomes one real
+    gather of the transposed table — (11, R) so every fetched column is
+    a contiguous lane vector (the (R, 11) AoS orientation wastes
+    125/128 VPU lanes). XLA-body only; the megakernel forces that
+    regime (Mosaic cannot lower a dynamic gather)."""
+    from tpurt.config import SELECT_GATHER_THRESHOLD
+
+    if num_meshes > SELECT_GATHER_THRESHOLD:
+        rows = mats.T[:, jnp.clip(mesh_idx, 0, num_meshes - 1)]  # (11, R)
+        return (
+            rows[MAT_TYPE], rows[MAT_IOR],
+            V3(rows[MAT_COLOR], rows[MAT_COLOR + 1], rows[MAT_COLOR + 2]),
+            V3(rows[MAT_EMC], rows[MAT_EMC + 1], rows[MAT_EMC + 2]),
+            rows[MAT_EMS], rows[MAT_REFL], rows[MAT_SPEC],
+        )
     zeros = jnp.zeros(mesh_idx.shape, jnp.float32)
     mtype = zeros
     ior = zeros
