@@ -164,6 +164,94 @@ def time_render_tiles(scene, cam, cfg, repeats=2):
     return best
 
 
+def run_config_anim(name, scene_kind, cfg, frames=2):
+    """BASELINE config 5's single-chip component: an animated camera
+    sweep (yaw advancing per frame, the viewer/anim.py schedule) at 4K,
+    every frame through the flat fast path. One executable serves all
+    frames (camera and frame_index are traced data)."""
+    import math
+
+    from tpurt.core.camera import Camera
+    from tpurt.render.renderer import (
+        _flat_batch_size, _tonemap_dev, render_batch_flat,
+    )
+
+    scene, _ = build_scene(scene_kind, cfg)
+    cams = [
+        Camera.create(
+            position=cfg.camera_position, pitch=cfg.camera_pitch,
+            yaw=cfg.camera_yaw + 2.0 * math.pi * f / 720.0,
+            roll=cfg.camera_roll, fov_degrees=cfg.fov_degrees,
+            aspect_ratio=cfg.aspect_ratio,
+        )
+        for f in range(frames)
+    ]
+    total = cfg.width * cfg.height
+    b = _flat_batch_size(cfg) * cfg.pixels_per_lane
+    n_batches = -(-total // b)
+    log(f"[{name}] scene={scene_kind} {cfg.width}x{cfg.height} "
+        f"spp={cfg.rays_per_pixel} frames={frames} batches={n_batches}")
+
+    m, s, _ = render_batch_flat(scene, cams[0], cfg, 0)  # warmup/compile
+    _ = float(s) + int(np.asarray(_tonemap_dev(m)).sum())
+
+    t0 = time.perf_counter()
+    segs = 0.0
+    for f, cam in enumerate(cams):
+        outs = []
+        for i in range(n_batches):
+            m, s, _ = render_batch_flat(scene, cam, cfg, i * b,
+                                        frame_index=f)
+            segs += float(s)
+            outs.append(m)
+        for m in outs:
+            np.asarray(_tonemap_dev(m))  # ship every frame's pixels
+    dt = time.perf_counter() - t0
+    mrays = segs / dt / 1e6
+    log(f"[{name}] {frames} frames in {dt:.3f}s "
+        f"({dt/frames:.3f}s/frame)  => {mrays:.1f} Mrays/s")
+    return {"name": name, "seconds": dt, "mrays": mrays,
+            "seconds_per_frame": dt / frames,
+            "avg_path": segs / (total * cfg.rays_per_pixel * frames)}
+
+
+def run_sharding_efficiency(cfg, repeats=2):
+    """BASELINE config 5's multi-chip component: per-chip efficiency of
+    the tile-sharded render vs the single-chip flat path (target >=90%
+    on a v5p-8, BASELINE.md:29). Measured only when more than one REAL
+    device is visible; on this one-chip box it reports the measurement
+    as unavailable (the CPU-mesh decomposition tests in
+    tests/test_parallel.py cover correctness of the sharded path)."""
+    import jax
+
+    devs = jax.devices()
+    if len(devs) < 2:
+        log("[sharding-eff] 1 device visible — efficiency not measurable "
+            "on this box; row emitted for pods")
+        return {"name": "sharding-efficiency", "devices": 1,
+                "efficiency": None}
+    from tpurt.parallel import make_mesh, render_frame_sharded
+
+    scene, cam = build_scene("bunny", cfg)
+    n = len(devs)
+    dt1, segs1, _ = time_render_flat(scene, cam, cfg, repeats)
+    mesh = make_mesh(tile_devices=n, devices=devs)
+    stats: dict = {}
+    render_frame_sharded(scene, cam, cfg, mesh=mesh, stats=stats)  # warmup
+    best = None
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        out = render_frame_sharded(scene, cam, cfg, mesh=mesh, stats=stats)
+        np.asarray(out)
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    eff = (dt1 / best) / n
+    log(f"[sharding-eff] single {dt1:.3f}s, {n}-chip {best:.3f}s "
+        f"=> speedup {dt1/best:.2f}x, efficiency {eff*100:.1f}%")
+    return {"name": "sharding-efficiency", "devices": n,
+            "single_s": dt1, "sharded_s": best, "efficiency": eff}
+
+
 def run_config(name, scene_kind, cfg, repeats=2):
     scene, cam = build_scene(scene_kind, cfg)
     log(f"[{name}] scene={scene_kind} tris={scene.num_triangles} "
@@ -257,6 +345,15 @@ def main():
         results.append(run_config(
             "cornell-256spp", "sphere",
             RenderConfig(width=512, height=512, rays_per_pixel=256,
+                         max_bounces=4, **common)))
+        # Config 5: 4K animated camera sweep + sharding efficiency
+        # (efficiency measured when >1 real device is visible).
+        results.append(run_config_anim(
+            "4k-anim-sweep", "bunny",
+            RenderConfig(width=3840, height=2160, rays_per_pixel=4,
+                         max_bounces=4, **common)))
+        results.append(run_sharding_efficiency(
+            RenderConfig(width=1920, height=1080, rays_per_pixel=args.spp,
                          max_bounces=4, **common)))
 
     # Config 3 — the headline: bunny-class BVH at 1080p, reference-seed
