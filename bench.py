@@ -315,8 +315,11 @@ def main():
     # straggler set amortises over the whole launch (measured 2.2x on
     # the bunny ladder); staged compaction then shrinks that one
     # straggler set (67% of lane-iterations were idle tail at P=8).
+    # mega_interleave=2: two sub-batches per while iteration so each
+    # row-gather DMA overlaps the other half's Pallas body (+22%
+    # measured round 3, scripts/probe_r3e.py).
     common = dict(tile_size=args.tile_size, seed_mode="reference",
-                  pixels_per_lane=8)
+                  pixels_per_lane=8, mega_interleave=2)
 
     results = []
     if args.ladder:

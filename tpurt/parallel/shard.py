@@ -125,7 +125,7 @@ def _render_sharded_impl(
     jax.jit,
     static_argnames=(
         "cfg", "mesh", "n_tile", "n_sample", "block_px", "blocks_per_dev",
-        "batch",
+        "batch", "replicate_out",
     ),
 )
 def _render_sharded_flat_impl(
@@ -140,6 +140,7 @@ def _render_sharded_flat_impl(
     block_px: int,
     blocks_per_dev: int,
     batch: int,
+    replicate_out: bool = False,
 ):
     """Sharded render through the megakernel FLAT fast path — the same
     quota/Pallas-body machinery bench.py times, per shard (the round-2
@@ -192,13 +193,21 @@ def _render_sharded_flat_impl(
             # Mean of per-shard means over equal shares == global mean.
             out = lax.psum(out, SAMPLE_AXIS) / jnp.float32(n_sample)
         segs = lax.psum(segs, (TILE_AXIS, SAMPLE_AXIS))
+        if replicate_out:
+            # Multi-process meshes: every host must end up holding the
+            # whole frame (np.asarray of a partially-addressable global
+            # array is an error), so the disjoint shards ride one
+            # all_gather over the tile axis — the DCN/ICI analog of the
+            # reference's host-merged tile buffer (image.hpp:255-277).
+            out = lax.all_gather(out, TILE_AXIS, axis=0, tiled=True)
         return out, segs
 
     return shard_map(
         worker,
         mesh=mesh,
         in_specs=(P(), P(), P()),
-        out_specs=(P(TILE_AXIS, None, None), P()),
+        out_specs=(
+            (P() if replicate_out else P(TILE_AXIS, None, None)), P()),
         **_shardmap_kwargs(),
     )(scene, camera, jnp.int32(frame_index))
 
@@ -251,6 +260,7 @@ def render_frame_sharded(
             scene, camera, frame_index,
             cfg=cfg, mesh=mesh, n_tile=n_tile, n_sample=n_sample,
             block_px=block_px, blocks_per_dev=k, batch=batch,
+            replicate_out=jax.process_count() > 1,
         )
         if stats is not None:
             stats["segments"] = float(np.asarray(segs))

@@ -215,7 +215,7 @@ def _mega_stage_start(scene, camera, coords, *, tile_h, tile_w, **statics):
     state = run_megakernel(
         scene, ro0, rd0, pixel_index, frame_index,
         sample_offset=sample_offset, camera=camera,
-        max_iterations=_MEGA_STAGE_ITERS, return_state=True, **statics,
+        max_iterations=coords[4], return_state=True, **statics,
     )
     return state, jnp.sum(~state.done)
 
@@ -241,7 +241,7 @@ def _mega_stage_more(scene, camera, state, frame_and_offset, *, uncapped=False,
         scene, state.ro0, state.rd0, pix0, frame_and_offset[0],
         sample_offset=frame_and_offset[1],
         camera=camera, initial_state=state,
-        max_iterations=None if uncapped else _MEGA_STAGE_ITERS,
+        max_iterations=None if uncapped else frame_and_offset[2],
         return_state=True, pixels_per_lane=pixels_per_lane,
         pixel_stride=pixel_stride, **statics,
     )
@@ -288,16 +288,22 @@ def _mega_finalize(state, spp):
     return mean, jnp.sum(state.segments.astype(jnp.float32))
 
 
-def _mega_finish_staged(scene, camera, cfg: RenderConfig, state, active, fo, r,
-                        pixels_per_lane: int = 1):
-    """Shared tail of the host-staged compaction driver: run capped
-    stages at full width while most lanes retire, then shrink to the
-    surviving quarter and let the deep tail finish without taxing every
-    lane. Returns (mean (R*P, 3), segs)."""
-    statics = _mega_statics(cfg, cfg.width, cfg.height)
-    quota = dict(pixels_per_lane=pixels_per_lane, pixel_stride=r) \
-        if pixels_per_lane > 1 else {}
+#: Last observed retirement curve per (scene, shape) — a list of
+#: (cumulative iterations, active lanes) host checkpoints. The next
+#: batch with the same key predicts its stage caps from it, so host
+#: checks land right where compaction becomes possible instead of on a
+#: fixed 384-iteration grid (caps are traced operands — no recompiles).
+_RETIRE_CURVES: dict = {}
 
+
+def _curve_key(scene, cfg: RenderConfig, r: int, p: int):
+    return (
+        id(scene.mega_rows), r, p, cfg.rays_per_pixel, cfg.max_bounces,
+        cfg.width, cfg.height, cfg.seed_mode,
+    )
+
+
+def _stage_widths(r: int):
     # Quarter-step width ladder (r/4, r/16, ... >= 1024): each level
     # is one fixed executable width, so the Mosaic kernels compile
     # once per level and the deep tail runs at ~its own width instead
@@ -316,24 +322,66 @@ def _mega_finish_staged(scene, camera, cfg: RenderConfig, state, active, fo, r,
         w //= 4
     if not widths:
         widths = [max(r // 4, 1024)]
+    return widths
+
+
+def _stage_cap(prev_curve, iters_now: int, target_active: int) -> int:
+    """Iterations to run before the next host check.
+
+    Caps are TRACED operands (no recompile per value), so any schedule
+    is cheap to express. Predictive scheduling — capping each stage at
+    the previous batch's active-count crossing so compaction fires as
+    early as possible — was built and MEASURED WORSE on the bunny
+    ladder (33.2 -> 23.2 Mrays/s): compacting right at the crossing is
+    premature, because the fixed-384 overshoot retires straggler work
+    at full-batch gather efficiency (~169-300 Mrows/s) that the
+    compacted quarter-width tail would otherwise grind through at
+    ~110-160 Mrows/s. The fixed grid stays; the curve cache remains for
+    schedules that can use it (e.g. choosing the uncapped-tail entry
+    width offline)."""
+    return _MEGA_STAGE_ITERS
+
+
+def _mega_finish_staged(scene, camera, cfg: RenderConfig, state, active,
+                        frame_index, sample_offset, r,
+                        pixels_per_lane: int = 1):
+    """Shared tail of the host-staged compaction driver: run capped
+    stages at full width while most lanes retire, then shrink to the
+    surviving quarter and let the deep tail finish without taxing every
+    lane. Stage caps are predicted from the previous batch's retirement
+    curve (_stage_cap). Returns (mean (R*P, 3), segs)."""
+    statics = _mega_statics(cfg, cfg.width, cfg.height)
+    quota = dict(pixels_per_lane=pixels_per_lane, pixel_stride=r) \
+        if pixels_per_lane > 1 else {}
+    widths = _stage_widths(r)
+    key = _curve_key(scene, cfg, r, pixels_per_lane)
+    prev = _RETIRE_CURVES.get(key)
 
     active = int(active)
+    iters_now = 0  # stage grid index; iters itself is not fetched
+    curve = [(iters_now, active)]
     folds = []  # (wider_state, idx) per compaction, innermost last
     for wq in widths:
         while active > wq:
+            cap = _stage_cap(prev, iters_now, wq)
+            fo = jnp.asarray([frame_index, sample_offset, cap], jnp.int32)
             state, active = _mega_stage_more(
                 scene, camera, state, fo, **quota, **statics
             )
             active = int(active)
+            iters_now += cap
+            curve.append((iters_now, active))
         if active == 0:
             break
         small, idx = _mega_compact(state, quarter=wq)
         folds.append((state, idx))
         state = small
     if active > 0:
+        fo = jnp.asarray([frame_index, sample_offset, 0], jnp.int32)
         state, _ = _mega_stage_more(
             scene, camera, state, fo, uncapped=True, **quota, **statics
         )
+    _RETIRE_CURVES[key] = curve
     for big, idx in reversed(folds):
         state = _mega_fold(big, state, idx)
     return _mega_finalize(state, jnp.int32(cfg.rays_per_pixel))
@@ -343,13 +391,17 @@ def _render_tile_mega_staged(
     scene, camera, cfg: RenderConfig, x0, y0, tile_h, tile_w, frame_index
 ):
     statics = _mega_statics(cfg, cfg.width, cfg.height)
-    coords = jnp.asarray([x0, y0, frame_index, 0], jnp.int32)
-    fo = jnp.asarray([frame_index, 0], jnp.int32)
+    r = tile_h * tile_w
+    cap0 = _stage_cap(
+        _RETIRE_CURVES.get(_curve_key(scene, cfg, r, 1)), 0,
+        _stage_widths(r)[0],
+    )
+    coords = jnp.asarray([x0, y0, frame_index, 0, cap0], jnp.int32)
     state, active = _mega_stage_start(
         scene, camera, coords, tile_h=tile_h, tile_w=tile_w, **statics
     )
     mean, segs = _mega_finish_staged(
-        scene, camera, cfg, state, active, fo, tile_h * tile_w
+        scene, camera, cfg, state, active, frame_index, 0, r
     )
     return mean.reshape(tile_h, tile_w, 3), segs
 
@@ -429,7 +481,7 @@ def _mega_flat_start(scene, camera, coords, *, batch, pixels_per_lane=1,
     state = run_megakernel(
         scene, ro0, rd0, pix, coords[1],
         sample_offset=coords[2], camera=camera,
-        max_iterations=_MEGA_STAGE_ITERS, return_state=True,
+        max_iterations=coords[3], return_state=True,
         pixels_per_lane=pixels_per_lane, **statics,
     )
     return state, jnp.sum(~state.done)
@@ -450,20 +502,27 @@ def render_batch_flat(
     b = _flat_batch_size(cfg)
     p = cfg.pixels_per_lane
     statics = _mega_statics(cfg, cfg.width, cfg.height)
-    coords = jnp.asarray([start, frame_index, sample_offset], jnp.int32)
     if (
         cfg.compaction_threshold
         and b >= cfg.compaction_threshold
         and cfg.max_bounces > 0
     ):
-        fo = jnp.asarray([frame_index, sample_offset], jnp.int32)
+        cap0 = _stage_cap(
+            _RETIRE_CURVES.get(_curve_key(scene, cfg, b, p)), 0,
+            _stage_widths(b)[0],
+        )
+        coords = jnp.asarray(
+            [start, frame_index, sample_offset, cap0], jnp.int32
+        )
         state, active = _mega_flat_start(
             scene, camera, coords, batch=b, pixels_per_lane=p, **statics
         )
         mean, segs = _mega_finish_staged(
-            scene, camera, cfg, state, active, fo, b, pixels_per_lane=p
+            scene, camera, cfg, state, active, frame_index, sample_offset,
+            b, pixels_per_lane=p,
         )
         return mean, segs, None
+    coords = jnp.asarray([start, frame_index, sample_offset], jnp.int32)
     mean, segs, iters = _mega_flat_full(
         scene, camera, coords, batch=b, pixels_per_lane=p, **statics
     )
