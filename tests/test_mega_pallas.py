@@ -98,3 +98,48 @@ def test_auto_resolves_to_xla_off_tpu():
     scene, cam, _ = default_scene(cfg_a)
     ref = render_frame(scene, cam, _cfg(mega_body="xla"))
     assert np.array_equal(ref, render_frame(scene, cam, cfg_a))
+
+
+def test_tail_passes_match_single_pass_bitwise():
+    """mega_tail_passes > 1 (multi-pass segment completion: replays and
+    all-pretests-failed segments shade in the same iteration instead of
+    idling a gather each) must be bitwise-identical to the one-pass
+    body — the per-lane op sequence is unchanged, only the loop-trip
+    packing differs. Covers the chain-skip (pretest-fail entry advance)
+    against the iterated fold it replaces. Quota lanes included: the
+    pass-2 shade may complete a pixel and advance the quota in the same
+    iteration its previous segment folded."""
+    cfg1 = _cfg(rays_per_pixel=2, max_bounces=4, pixels_per_lane=2,
+                rays_per_batch=64, mega_tail_passes=1)
+    scene, cam, _ = default_scene(cfg1)
+    ref = render_frame(scene, cam, cfg1)
+    out = render_frame(scene, cam, cfg1.replace(mega_tail_passes=2))
+    assert np.array_equal(ref, out)
+
+
+def test_interleave_matches_single_batch_bitwise(monkeypatch):
+    """mega_interleave=2 (independent sub-batches stepped back-to-back
+    inside one while iteration so each gather overlaps the other half's
+    body) must be bitwise-identical to interleave=1 — lanes never mix
+    across sub-batches. The production floor (MEGA_INTERLEAVE_FLOOR)
+    would silently disable the split at test sizes, so patch it down to
+    actually exercise the interleaved path."""
+    import tpurt.config as config_mod
+
+    monkeypatch.setattr(config_mod, "MEGA_INTERLEAVE_FLOOR", 128)
+    cfg1 = _cfg(rays_per_pixel=2, max_bounces=4, rays_per_batch=256,
+                mega_interleave=1)
+    scene, cam, _ = default_scene(cfg1)
+    ref = render_frame(scene, cam, cfg1)
+    out = render_frame(scene, cam, cfg1.replace(mega_interleave=2))
+    assert np.array_equal(ref, out)
+
+
+def test_interleave_floor_falls_back_to_single_batch():
+    """Below the floor the engine must run interleave=1 (identical
+    output, and no 64-lane pallas sub-blocks)."""
+    cfg1 = _cfg(rays_per_pixel=2, rays_per_batch=256, mega_interleave=1)
+    scene, cam, _ = default_scene(cfg1)
+    ref = render_frame(scene, cam, cfg1)
+    out = render_frame(scene, cam, cfg1.replace(mega_interleave=2))
+    assert np.array_equal(ref, out)

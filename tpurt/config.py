@@ -33,6 +33,28 @@ IOR_AIR = 1.0
 #: body: Mosaic has no dynamic-gather lowering on this toolchain.
 SELECT_GATHER_THRESHOLD = 24
 
+#: Maximum chain entries the megakernel's enter step will advance past
+#: IN-PLACE when their root pretests fail (the chain skip). Each step
+#: unrolls one more _enter/_pretest round into the loop body, so the
+#: cap bounds body growth for long chains; lanes that exhaust it fall
+#: back to the one-entry-per-iteration fold (bitwise-identical, just
+#: slower). Chains of <= MEGA_SKIP_CAP + 1 entries always drain in the
+#: iteration that finishes a segment.
+MEGA_SKIP_CAP = 3
+
+#: Minimum lanes per interleaved sub-batch. Interleaving pays because
+#: sub-batch j's row-gather DMA overlaps sub-batch j-1's Pallas body
+#: (scripts/probe_r3b.py: 46 -> 12 ns/row), but the XLA gather engine's
+#: row rate falls off steeply below ~131k rows (161 Mrows/s at 262k,
+#: plus a fixed ~0.4 ms floor per gather at 16k) — splitting a small
+#: batch loses more gather efficiency than the overlap wins back.
+#: Measured on the v5e bunny 1080p ladder: plain 262k-lane batches
+#: (sub 131k) 23.7 -> 24.9 Mrays/s with interleave=2, but the staged
+#: schedule's 65k-lane tail stage (sub 32k) dragged the headline
+#: 30.9 -> 27.4. Batches whose sub-batches would fall below this floor
+#: run interleave=1 (bitwise-identical either way).
+MEGA_INTERLEAVE_FLOOR = 131072
+
 
 @dataclasses.dataclass(frozen=True)
 class RenderConfig:
@@ -154,6 +176,45 @@ class RenderConfig:
     #: split 128-lane-aligned.
     mega_interleave: int = 1
 
+    #: Segment-completion passes per megakernel loop iteration. The
+    #: loop body's tail (shade -> restart -> static stage -> chain
+    #: enter) runs this many times back-to-back, so a lane whose fresh
+    #: segment completes WITHOUT traversal — a cache-replayed primary,
+    #: or a ray whose every chain pretest fails (wall hits: the static
+    #: stage already resolved it) — shades in the SAME iteration
+    #: instead of burning a whole row-gather iteration idling.
+    #: Bitwise-identical to 1 (same per-lane op sequence, fewer trips).
+    #:
+    #: Default 1: MEASURED WORSE at 2 on the bunny 1080p ladder
+    #: (scripts/probe_r4.py, v5e): a batch's iteration count is set by
+    #: its STRAGGLER lanes, whose trajectories are traversal-dominated
+    #: — collapsing the mean lane's bubbles cut iterations only 8%
+    #: (648 -> 596) while the doubled tail code raised the fused body
+    #: +30% us/iter (2299 -> 2982). Net 24.9 -> 20.9 Mrays/s plain,
+    #: 27.4 -> 25.8 staged. Kept as a knob: scenes whose straggler
+    #: paths are replay/pretest-fail-heavy (thin geometry, high spp)
+    #: invert the tradeoff.
+    mega_tail_passes: int = 1
+
+    #: Gather/body ordering inside one interleaved loop iteration
+    #: (only meaningful when mega_interleave > 1 takes effect):
+    #: "inline"  — each sub-batch's gather is emitted immediately
+    #:             before its own body; XLA's async scheduler hoists
+    #:             the independent DMA past the PREVIOUS sub-batch's
+    #:             Pallas call, so gather_j overlaps body_{j-1}.
+    #:             Measured 30.4-34.4 Mrays/s on the staged bunny
+    #:             ladder (scripts/probe_r6.py) — the default.
+    #: "gfirst"  — all sub-batch gathers emitted before any body.
+    #:             MEASURED PATHOLOGICAL (2.9 Mrays/s staged,
+    #:             scripts/probe_r5.py): batching the DMAs serialises
+    #:             them against each other ahead of all compute.
+    #: "carry"   — software pipelining: the loop CARRIES each sub-
+    #:             batch's gathered rows, issued one body-step ahead of
+    #:             consumption, so every row DMA has a full Pallas body
+    #:             to hide behind.
+    #: All three are bitwise-identical (same per-lane op sequence).
+    mega_schedule: str = "inline"
+
     #: Dense-sweep backend for brute-force intersection (modular engine
     #: + fused static pass). ``"exact"`` is the broadcast VPU form,
     #: bit-identical to the scalar oracle. ``"plucker"`` rewrites MT as
@@ -185,6 +246,12 @@ class RenderConfig:
             raise ValueError("pixels_per_lane must be >= 1")
         if self.mega_interleave < 1:
             raise ValueError("mega_interleave must be >= 1")
+        if self.mega_tail_passes < 1:
+            raise ValueError("mega_tail_passes must be >= 1")
+        if self.mega_schedule not in ("inline", "gfirst", "carry"):
+            raise ValueError(
+                "mega_schedule must be 'inline', 'gfirst' or 'carry'"
+            )
         if self.sample_flatten and self.seed_mode != "decorrelated":
             raise ValueError(
                 "sample_flatten requires seed_mode='decorrelated' "

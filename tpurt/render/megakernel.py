@@ -65,6 +65,14 @@ import jax.numpy as jnp
 from jax import lax
 
 from tpurt.config import EPSILON
+
+
+def _config_mod():
+    """Late module handle so tests can monkeypatch tunables (e.g. the
+    interleave floor) on ``tpurt.config`` and have the kernel see it."""
+    import tpurt.config as _c
+
+    return _c
 from tpurt.core import rng as rnglib
 from tpurt.core import v3 as v3lib
 from tpurt.core.v3 import V3
@@ -511,6 +519,7 @@ def _body_math(
     pixel_stride: int = 0,
     width: int = 0,
     height: int = 0,
+    tail_passes: int = 1,
 ) -> _Lane:
     """One megakernel iteration AFTER the row gather: traversal step,
     chain fold, shade, sample bookkeeping, next-entry setup. Pure
@@ -719,206 +728,278 @@ def _body_math(
         entry = s.entry
         in_chain = falses
 
-    # ---------------- SHADE ---------------------------------------
-    shade = ~s.done & (entry >= e_count)
-    segments = s.segments + shade.astype(jnp.int32)
-
-    res = shade_hit_soa(
-        mats, num_meshes, shade,
-        w_valid, w_point, w_normal, w_back, w_mesh,
-        s.origin, s.direction, s.throughput, s.light, s.rng, s.bounces,
-        max_bounces,
-    )
-    invis = s.invis + (shade & res.invisible).astype(jnp.int32)
-    continuing = res.continuing & ~(res.invisible & (invis > invisible_budget))
-
-    # primary cache store (sample 0, bounce 0)
-    if use_cache:
-        store = shade & ~s.c_set & (s.bounces == 0) & (s.sample == 0)
-        c_set = s.c_set | store
-        c_valid = _bsel(store, w_valid, s.c_valid)
-        c_point = v3lib.where(store, w_point, s.c_point)
-        c_normal = v3lib.where(store, w_normal, s.c_normal)
-        c_back = _bsel(store, w_back, s.c_back)
-        c_mesh = jnp.where(store, w_mesh, s.c_mesh)
-        c_dst = jnp.where(store, w_dst, s.c_dst)
-    else:
-        # Cache disabled (jitter, or one sample per pixel where a
-        # replay can never fire): the fields are None so the 11 cache
-        # leaves drop out of the streamed lane state entirely.
-        c_set = c_valid = c_point = c_normal = None
-        c_back = c_mesh = c_dst = None
-
-    cont = shade & continuing
-    path_end = shade & ~continuing
-    zero = np.float32(0.0)
-    acc = s.acc + V3(
-        jnp.where(path_end, res.light.x, zero),
-        jnp.where(path_end, res.light.y, zero),
-        jnp.where(path_end, res.light.z, zero),
-    )
-    sample = s.sample + path_end.astype(jnp.int32)
-    pix_done = path_end & (sample >= rays_per_pixel)
-    if p_count > 1:
-        # Quota mode: a lane whose pixel is complete banks its
-        # accumulator into the pixel's slot and ADVANCES to its next
-        # quota pixel (stride = batch size) instead of idling; only the
-        # last quota pixel retires the lane.
-        last_pix = s.pixno >= (p_count - 1)
-        retire = pix_done & last_pix
-        advance = pix_done & ~last_pix
-        accs = []
-        for k in range(p_count):
-            wk = pix_done & (s.pixno == k)
-            accs.append(V3(
-                jnp.where(wk, acc.x, s.accs[k].x),
-                jnp.where(wk, acc.y, s.accs[k].y),
-                jnp.where(wk, acc.z, s.accs[k].z),
-            ))
-        accs = tuple(accs)
-        acc = V3(
-            jnp.where(pix_done, zero, acc.x),
-            jnp.where(pix_done, zero, acc.y),
-            jnp.where(pix_done, zero, acc.z),
-        )
-        pixno = s.pixno + advance.astype(jnp.int32)
-        # Signed arithmetic on purpose: Mosaic cannot lower u32 min
-        # (arith.minui); pixel indices are < 2^24 so i32 is exact.
-        adv_pix = jnp.minimum(
-            s.pix.astype(jnp.int32) + np.int32(pixel_stride),
-            np.int32(width * height - 1),  # pad lanes clamp like _flat_coords
-        ).astype(jnp.uint32)
-        pix = jnp.where(advance, adv_pix, s.pix)
-        sample = jnp.where(pix_done, 0, sample)
-    else:
-        retire = pix_done
-        advance = falses
-        accs = s.accs
-        pixno = s.pixno
-        pix = s.pix
-    done = s.done | retire
-    new_sample = path_end & ~retire
-
-    sample_u = sample.astype(jnp.uint32)
-    if p_count > 1:
-        # New pixel's primary ray: select the slot's PRECOMPUTED
-        # direction (slot_rays come from the same make_ray entry
-        # computation as plain batches — recomputing the camera chain
-        # in-body is NOT bit-stable, XLA fuses the uv arithmetic
-        # differently inside the loop). Static chain over slots;
-        # advance implies pixno >= 1. Origins never change (pinhole).
-        rd_n = slot_rays[0]  # slot 1
-        for k in range(2, p_count):
-            rd_n = v3lib.where(pixno == k, slot_rays[k - 1], rd_n)
-        ro0 = s.ro0
-        rd0 = v3lib.where(advance, rd_n, s.rd0)
-    else:
-        ro0, rd0 = s.ro0, s.rd0
-    ro_s, rd_s = primary_ray_fn(ro0, rd0, pix, sample_u)
-    rng = res.rng
-    if seed_mode != "reference":
-        rng = jnp.where(new_sample, seed_for(pix, sample_u), rng)
-    elif p_count > 1:
-        # Reference seed mode draws one seed per PIXEL (the stream then
-        # runs across its samples, Trace.cl:632-641) — re-seed on
-        # advance only.
-        rng = jnp.where(advance, seed_for(pix, sample_u), rng)
-
-    origin = v3lib.where(new_sample, ro_s, res.origin)
-    direction = v3lib.where(new_sample, rd_s, res.direction)
-    one = np.float32(1.0)
-    throughput = V3(
-        jnp.where(new_sample, one, res.throughput.x),
-        jnp.where(new_sample, one, res.throughput.y),
-        jnp.where(new_sample, one, res.throughput.z),
-    )
-    light = V3(
-        jnp.where(new_sample, zero, res.light.x),
-        jnp.where(new_sample, zero, res.light.y),
-        jnp.where(new_sample, zero, res.light.z),
-    )
-    bounces = jnp.where(new_sample, 0, res.bounces)
-    invis = jnp.where(new_sample, 0, invis)
-
-    # cached primary replay: new samples with a cache skip the chain
-    # (a quota advance invalidates the cache — it belongs to the
-    # finished pixel)
-    if use_cache:
-        c_set = c_set & ~advance
-        replay = new_sample & c_set
-    else:
-        replay = falses
-    restart = cont | (new_sample & ~replay)
-    entry = jnp.where(restart, 0, entry)
-    stack = tuple(
-        jnp.where(restart, _EMPTY, slot_arr) for slot_arr in stack
-    )
-
-    # ---- world-best reset + static stage + cached replay ----------
-    # (before `entering` so the root pretest sees the seeded w_dst)
-    w_valid = w_valid & ~shade
-    w_dst = jnp.where(shade, _INF, w_dst)
-    w_mesh = jnp.where(shade, -1, w_mesh)
-
-    sv, sd, sp, sn, sb, sm = _static_stage(
-        srows, s_cull, s_onesided, s_owner, mats, num_meshes, restart,
-        origin, direction
-    )
-    w_valid = _bsel(restart, sv, w_valid)
-    w_dst = jnp.where(restart, sd, w_dst)
-    w_point = v3lib.where(restart, sp, w_point)
-    w_normal = v3lib.where(restart, sn, w_normal)
-    w_back = _bsel(restart, sb, w_back)
-    w_mesh = jnp.where(restart, sm, w_mesh)
-
-    if use_cache:
-        entry = jnp.where(replay, e_count, entry)
-        w_valid = _bsel(replay, c_valid, w_valid)
-        w_dst = jnp.where(replay, c_dst, w_dst)
-        w_point = v3lib.where(replay, c_point, w_point)
-        w_normal = v3lib.where(replay, c_normal, w_normal)
-        w_back = _bsel(replay, c_back, w_back)
-        w_mesh = jnp.where(replay, c_mesh, w_mesh)
-
-    # ONE local-frame entry computation serves both transitions
-    # (advancing to the next chain entry and restarting at entry 0
-    # with the bounced/new ray): by this point `entry` and
-    # origin/direction hold their final values for the iteration.
-    if e_count:
-        entering = in_chain | restart
-        lo2, ld2, lid2, root2, root_leaf2 = _enter(
-            params, e_count, entry, origin, direction
-        )
-        # Root pretest: skip the whole subtree when the entry's
-        # local root box lies beyond the already-found best hit
-        # (seeded by the static stage) or misses the ray.
-        pre_ok = _pretest(params, e_count, entry, lo2, lid2, w_dst)
-        root_or_skip = jnp.where(pre_ok, root2, -1)
-        lo = v3lib.where(entering, lo2, s.lo)
-        ld = v3lib.where(entering, ld2, s.ld)
-        lid = v3lib.where(entering, lid2, s.lid)
-        cur = jnp.where(entering, root_or_skip, cur)
-        cur_leaf = _bsel(entering, root_leaf2 & pre_ok, cur_leaf)
-        cur_slot = jnp.where(entering, 0, cur_slot)
-    else:
-        lo, ld, lid = s.lo, s.ld, s.lid
-
-    return _Lane(
-        iters=s.iters,
-        ro0=ro0, rd0=rd0, pix=pix, pixno=pixno,
-        sample=sample, acc=acc, accs=accs, rng=rng, done=done,
-        segments=segments,
-        origin=origin, direction=direction, throughput=throughput,
-        light=light, bounces=bounces, invis=invis,
-        entry=entry,
-        cur=cur, cur_leaf=cur_leaf, cur_slot=cur_slot, stack=stack,
-        lo=lo, ld=ld, lid=lid,
-        lt=lt, lnrm=lnrm, lback=lback, lmesh=lmesh,
+    # Post-traversal state: the tail below reads everything through
+    # ``t`` so it can run MULTIPLE times per iteration (tail_passes).
+    t = s._replace(
+        entry=entry, cur=cur, cur_leaf=cur_leaf, cur_slot=cur_slot,
+        stack=stack, lt=lt, lnrm=lnrm, lback=lback, lmesh=lmesh,
         w_valid=w_valid, w_dst=w_dst, w_point=w_point, w_normal=w_normal,
         w_back=w_back, w_mesh=w_mesh,
-        c_set=c_set, c_valid=c_valid, c_point=c_point, c_normal=c_normal,
-        c_back=c_back, c_mesh=c_mesh, c_dst=c_dst,
     )
+
+    from tpurt.config import MEGA_SKIP_CAP, SELECT_GATHER_THRESHOLD
+
+    def _tail(t: _Lane, entering_in) -> _Lane:
+        """Segment completion: shade -> accumulate/advance -> restart ->
+        static stage -> chain enter (with pretest-fail skip). Lanes not
+        at the shading stage pass through unchanged, so running the
+        tail again immediately completes segments that need no
+        traversal (cache replays; rays whose every chain pretest fails
+        because the inline static stage already resolved them)."""
+        # ---------------- SHADE ---------------------------------------
+        shade = ~t.done & (t.entry >= e_count)
+        segments = t.segments + shade.astype(jnp.int32)
+
+        res = shade_hit_soa(
+            mats, num_meshes, shade,
+            t.w_valid, t.w_point, t.w_normal, t.w_back, t.w_mesh,
+            t.origin, t.direction, t.throughput, t.light, t.rng, t.bounces,
+            max_bounces,
+        )
+        invis = t.invis + (shade & res.invisible).astype(jnp.int32)
+        continuing = res.continuing & ~(
+            res.invisible & (invis > invisible_budget)
+        )
+
+        # primary cache store (sample 0, bounce 0)
+        if use_cache:
+            store = shade & ~t.c_set & (t.bounces == 0) & (t.sample == 0)
+            c_set = t.c_set | store
+            c_valid = _bsel(store, t.w_valid, t.c_valid)
+            c_point = v3lib.where(store, t.w_point, t.c_point)
+            c_normal = v3lib.where(store, t.w_normal, t.c_normal)
+            c_back = _bsel(store, t.w_back, t.c_back)
+            c_mesh = jnp.where(store, t.w_mesh, t.c_mesh)
+            c_dst = jnp.where(store, t.w_dst, t.c_dst)
+        else:
+            # Cache disabled (jitter, or one sample per pixel where a
+            # replay can never fire): the fields are None so the 11 cache
+            # leaves drop out of the streamed lane state entirely.
+            c_set = c_valid = c_point = c_normal = None
+            c_back = c_mesh = c_dst = None
+
+        cont = shade & continuing
+        path_end = shade & ~continuing
+        zero = np.float32(0.0)
+        acc = t.acc + V3(
+            jnp.where(path_end, res.light.x, zero),
+            jnp.where(path_end, res.light.y, zero),
+            jnp.where(path_end, res.light.z, zero),
+        )
+        sample = t.sample + path_end.astype(jnp.int32)
+        pix_done = path_end & (sample >= rays_per_pixel)
+        if p_count > 1:
+            # Quota mode: a lane whose pixel is complete banks its
+            # accumulator into the pixel's slot and ADVANCES to its next
+            # quota pixel (stride = batch size) instead of idling; only the
+            # last quota pixel retires the lane.
+            last_pix = t.pixno >= (p_count - 1)
+            retire = pix_done & last_pix
+            advance = pix_done & ~last_pix
+            accs = []
+            for k in range(p_count):
+                wk = pix_done & (t.pixno == k)
+                accs.append(V3(
+                    jnp.where(wk, acc.x, t.accs[k].x),
+                    jnp.where(wk, acc.y, t.accs[k].y),
+                    jnp.where(wk, acc.z, t.accs[k].z),
+                ))
+            accs = tuple(accs)
+            acc = V3(
+                jnp.where(pix_done, zero, acc.x),
+                jnp.where(pix_done, zero, acc.y),
+                jnp.where(pix_done, zero, acc.z),
+            )
+            pixno = t.pixno + advance.astype(jnp.int32)
+            # Signed arithmetic on purpose: Mosaic cannot lower u32 min
+            # (arith.minui); pixel indices are < 2^24 so i32 is exact.
+            adv_pix = jnp.minimum(
+                t.pix.astype(jnp.int32) + np.int32(pixel_stride),
+                np.int32(width * height - 1),  # pad lanes clamp like _flat_coords
+            ).astype(jnp.uint32)
+            pix = jnp.where(advance, adv_pix, t.pix)
+            sample = jnp.where(pix_done, 0, sample)
+        else:
+            retire = pix_done
+            advance = falses
+            accs = t.accs
+            pixno = t.pixno
+            pix = t.pix
+        done = t.done | retire
+        new_sample = path_end & ~retire
+
+        sample_u = sample.astype(jnp.uint32)
+        if p_count > 1:
+            # New pixel's primary ray: select the slot's PRECOMPUTED
+            # direction (slot_rays come from the same make_ray entry
+            # computation as plain batches — recomputing the camera chain
+            # in-body is NOT bit-stable, XLA fuses the uv arithmetic
+            # differently inside the loop). Static chain over slots;
+            # advance implies pixno >= 1. Origins never change (pinhole).
+            rd_n = slot_rays[0]  # slot 1
+            for k in range(2, p_count):
+                rd_n = v3lib.where(pixno == k, slot_rays[k - 1], rd_n)
+            ro0 = t.ro0
+            rd0 = v3lib.where(advance, rd_n, t.rd0)
+        else:
+            ro0, rd0 = t.ro0, t.rd0
+        ro_s, rd_s = primary_ray_fn(ro0, rd0, pix, sample_u)
+        rng = res.rng
+        if seed_mode != "reference":
+            rng = jnp.where(new_sample, seed_for(pix, sample_u), rng)
+        elif p_count > 1:
+            # Reference seed mode draws one seed per PIXEL (the stream then
+            # runs across its samples, Trace.cl:632-641) — re-seed on
+            # advance only.
+            rng = jnp.where(advance, seed_for(pix, sample_u), rng)
+
+        origin = v3lib.where(new_sample, ro_s, res.origin)
+        direction = v3lib.where(new_sample, rd_s, res.direction)
+        one = np.float32(1.0)
+        throughput = V3(
+            jnp.where(new_sample, one, res.throughput.x),
+            jnp.where(new_sample, one, res.throughput.y),
+            jnp.where(new_sample, one, res.throughput.z),
+        )
+        light = V3(
+            jnp.where(new_sample, zero, res.light.x),
+            jnp.where(new_sample, zero, res.light.y),
+            jnp.where(new_sample, zero, res.light.z),
+        )
+        bounces = jnp.where(new_sample, 0, res.bounces)
+        invis = jnp.where(new_sample, 0, invis)
+
+        # cached primary replay: new samples with a cache skip the chain
+        # (a quota advance invalidates the cache — it belongs to the
+        # finished pixel)
+        if use_cache:
+            c_set = c_set & ~advance
+            replay = new_sample & c_set
+        else:
+            replay = falses
+        restart = cont | (new_sample & ~replay)
+        entry = jnp.where(restart, 0, t.entry)
+        stack = tuple(
+            jnp.where(restart, _EMPTY, slot_arr) for slot_arr in t.stack
+        )
+
+        # ---- world-best reset + static stage + cached replay ----------
+        # (before `entering` so the root pretest sees the seeded w_dst)
+        w_valid = t.w_valid & ~shade
+        w_dst = jnp.where(shade, _INF, t.w_dst)
+        w_mesh = jnp.where(shade, -1, t.w_mesh)
+        w_point, w_normal, w_back = t.w_point, t.w_normal, t.w_back
+
+        sv, sd, sp, sn, sb, sm = _static_stage(
+            srows, s_cull, s_onesided, s_owner, mats, num_meshes, restart,
+            origin, direction
+        )
+        w_valid = _bsel(restart, sv, w_valid)
+        w_dst = jnp.where(restart, sd, w_dst)
+        w_point = v3lib.where(restart, sp, w_point)
+        w_normal = v3lib.where(restart, sn, w_normal)
+        w_back = _bsel(restart, sb, w_back)
+        w_mesh = jnp.where(restart, sm, w_mesh)
+
+        if use_cache:
+            entry = jnp.where(replay, e_count, entry)
+            w_valid = _bsel(replay, c_valid, w_valid)
+            w_dst = jnp.where(replay, c_dst, w_dst)
+            w_point = v3lib.where(replay, c_point, w_point)
+            w_normal = v3lib.where(replay, c_normal, w_normal)
+            w_back = _bsel(replay, c_back, w_back)
+            w_mesh = jnp.where(replay, c_mesh, w_mesh)
+
+        # ONE local-frame entry computation serves both transitions
+        # (advancing to the next chain entry and restarting at entry 0
+        # with the bounced/new ray): by this point `entry` and
+        # origin/direction hold their final values for the pass.
+        cur, cur_leaf, cur_slot = t.cur, t.cur_leaf, t.cur_slot
+        if e_count:
+            entering = entering_in | restart
+            lo2, ld2, lid2, root2, root_leaf2 = _enter(
+                params, e_count, entry, origin, direction
+            )
+            # Root pretest: skip the whole subtree when the entry's
+            # local root box lies beyond the already-found best hit
+            # (seeded by the static stage) or misses the ray.
+            pre_ok = _pretest(params, e_count, entry, lo2, lid2, w_dst)
+
+            # CHAIN SKIP: a failed pretest advances the lane's entry
+            # IN-PLACE (the fold it skips is trivial by invariant —
+            # traversal never ran, so lt/lmesh are reset) instead of
+            # burning a whole gather iteration per failed entry. Each
+            # unrolled round evaluates the next entry for still-failing
+            # lanes; the evaluation order per lane is exactly the
+            # iterated fold's, so trajectories are bitwise-identical.
+            cur_e = entry
+            pend = entering & ~pre_ok
+            ok_e = pre_ok
+            lo_e, ld_e, lid_e = lo2, ld2, lid2
+            root_e, leaf_e = root2, root_leaf2
+            n_skip = (
+                min(e_count - 1, MEGA_SKIP_CAP)
+                if e_count <= SELECT_GATHER_THRESHOLD else 0
+            )
+            for _ in range(n_skip):
+                cur_e = jnp.where(pend, cur_e + 1, cur_e)
+                valid2 = pend & (cur_e < e_count)
+                lo3, ld3, lid3, root3, leaf3 = _enter(
+                    params, e_count, cur_e, origin, direction
+                )
+                ok3 = _pretest(params, e_count, cur_e, lo3, lid3, w_dst)
+                lo_e = v3lib.where(valid2, lo3, lo_e)
+                ld_e = v3lib.where(valid2, ld3, ld_e)
+                lid_e = v3lib.where(valid2, lid3, lid_e)
+                root_e = jnp.where(valid2, root3, root_e)
+                leaf_e = _bsel(valid2, leaf3, leaf_e)
+                ok_e = _bsel(valid2, ok3, ok_e)
+                pend = valid2 & ~ok3
+            # A failure at the LAST chain entry needs no further
+            # evaluation: the lane is shade-ready right now. Lanes that
+            # exhausted the skip cap mid-chain stay at their (evaluated,
+            # failed) entry with cur = -1; the per-iteration fold
+            # resumes them exactly as before the skip existed.
+            adv_last = pend & (cur_e == e_count - 1)
+            cur_e = jnp.where(adv_last, cur_e + 1, cur_e)
+            entry = jnp.where(entering, cur_e, entry)
+
+            root_or_skip = jnp.where(ok_e, root_e, -1)
+            lo = v3lib.where(entering, lo_e, t.lo)
+            ld = v3lib.where(entering, ld_e, t.ld)
+            lid = v3lib.where(entering, lid_e, t.lid)
+            cur = jnp.where(entering, root_or_skip, cur)
+            cur_leaf = _bsel(entering, leaf_e & ok_e, cur_leaf)
+            cur_slot = jnp.where(entering, 0, cur_slot)
+        else:
+            lo, ld, lid = t.lo, t.ld, t.lid
+
+        return _Lane(
+            iters=t.iters,
+            ro0=ro0, rd0=rd0, pix=pix, pixno=pixno,
+            sample=sample, acc=acc, accs=accs, rng=rng, done=done,
+            segments=segments,
+            origin=origin, direction=direction, throughput=throughput,
+            light=light, bounces=bounces, invis=invis,
+            entry=entry,
+            cur=cur, cur_leaf=cur_leaf, cur_slot=cur_slot, stack=stack,
+            lo=lo, ld=ld, lid=lid,
+            lt=t.lt, lnrm=t.lnrm, lback=t.lback, lmesh=t.lmesh,
+            w_valid=w_valid, w_dst=w_dst, w_point=w_point, w_normal=w_normal,
+            w_back=w_back, w_mesh=w_mesh,
+            c_set=c_set, c_valid=c_valid, c_point=c_point, c_normal=c_normal,
+            c_back=c_back, c_mesh=c_mesh, c_dst=c_dst,
+        )
+
+    # Pass 1 finishes segments whose traversal completed this iteration;
+    # passes 2..N immediately finish segments the restart resolved
+    # WITHOUT traversal (replays; all-pretests-failed rays), which would
+    # otherwise idle a full gather iteration each (measured 0.9 of 2.14
+    # live lane-iterations/segment on the bunny ladder).
+    t = _tail(t, in_chain)
+    for _ in range(max(1, tail_passes) - 1):
+        t = _tail(t, falses)
+    return t
 
 
 def run_megakernel(
@@ -945,12 +1026,20 @@ def run_megakernel(
     pixel_stride: int = None,
     debug_counters: bool = False,
     interleave: int = 1,
+    tail_passes: int = 1,
+    schedule: str = "inline",
 ):
     """Returns (mean radiance (R*pixels_per_lane, 3), total path
     segments (scalar f32), iterations) — or the raw lane state when
     ``return_state`` (used by the host-staged compaction driver in
     render/renderer.py, which caps iterations, shrinks the batch to the
-    surviving lanes, and resumes; quota > 1 is not staged).
+    surviving lanes, and resumes — including quota batches).
+
+    ``tail_passes`` > 1 runs the loop body's segment-completion tail
+    (shade -> restart -> static stage -> chain enter) that many times
+    per iteration, so segments that complete WITHOUT traversal (cache
+    replays; rays whose every chain pretest fails) finish in the same
+    iteration instead of idling a gather each. Bitwise-identical to 1.
 
     ``body_backend`` selects where the per-iteration lane math runs:
     "xla" (the parity anchor) or "pallas" (one fused Mosaic kernel per
@@ -1114,6 +1203,7 @@ def run_megakernel(
         p_count=p_count,
         pixel_stride=r if pixel_stride is None else int(pixel_stride),
         width=width, height=height,
+        tail_passes=max(1, int(tail_passes)),
     )
 
     rows_t = scene.mega_rows.T if e_count else None  # (W, N), hoisted
@@ -1154,6 +1244,12 @@ def run_megakernel(
     k_il = max(1, int(interleave))
     if r % k_il != 0 or (r // k_il) % 128 != 0:
         k_il = 1  # pallas blocks need 128-lane alignment per sub-batch
+    elif k_il > 1 and r // k_il < _config_mod().MEGA_INTERLEAVE_FLOOR:
+        # Below the floor the gather engine's batch-size falloff costs
+        # more than the DMA/body overlap wins (see MEGA_INTERLEAVE_FLOOR
+        # in config.py) — notably the staged schedule's narrow tail
+        # stages, which inherit the frame config's interleave.
+        k_il = 1
     if debug_counters:
         assert k_il == 1, "debug_counters requires interleave=1"
     m_il = r // k_il
@@ -1168,6 +1264,24 @@ def run_megakernel(
             tree,
         )
 
+    def _gather(s: _Lane):
+        """Issue sub-batch s's row gather. Hoisted out of the bodies so
+        the drivers below control its PROGRAM POSITION: emitted for all
+        sub-batches before any body runs ("gfirst"), or carried one
+        body-step ahead of its consumer ("carry") — either way the DMA
+        gets an independent Pallas body to overlap with instead of its
+        consumer being the very next op."""
+        if not e_count:
+            return None
+        trav = ~s.done & (s.entry < e_count) & (s.cur >= 0)
+        idx = jnp.where(trav, s.cur, 0)
+        # Gather along the minor axis of the PRE-transposed bank: the
+        # (W, R) layout keeps each column a contiguous (R,) lane
+        # vector, and the one transpose is loop-invariant (hoisted)
+        # instead of per-iteration — measured ~15% faster than
+        # table[idx].T per gather.
+        return rows_t[:, idx]  # (W, R)
+
     if body_backend == "pallas" and not subpixel_jitter:
         from tpurt.render.mega_pallas import make_pallas_body
 
@@ -1178,20 +1292,13 @@ def run_megakernel(
                 sample_offset, body_kw,
             )
 
-            def body(s: _Lane, pallas_body=pallas_body) -> _Lane:
-                if e_count:
-                    trav = ~s.done & (s.entry < e_count) & (s.cur >= 0)
-                    idx = jnp.where(trav, s.cur, 0)
-                    rowt = rows_t[:, idx]  # (W, R)
-                else:
-                    rowt = None
+            def body(s: _Lane, rowt, pallas_body=pallas_body) -> _Lane:
                 s2 = pallas_body(s, rowt)
                 return s2._replace(iters=s.iters + 1)
 
             bodies.append(body)
-        body = bodies[0]
     elif debug_counters:
-        def body(s: _Lane) -> _Lane:
+        def body(s: _Lane, rowt) -> _Lane:
             # Instrumented XLA body: same math, plus lane-iteration
             # tallies (bit-identical trajectories, so counts measured
             # here describe the Pallas engine too).
@@ -1208,12 +1315,7 @@ def run_megakernel(
                 jnp.int32(1), cnt(live), cnt(node), cnt(leaf), cnt(shade),
                 cnt(enter),
             ])
-            if e_count:
-                idx = jnp.where(trav, s.cur, 0)
-                rowt = rows_t[:, idx]
-                col = lambda j: rowt[j]
-            else:
-                col = None
+            col = (lambda j: rowt[j]) if rowt is not None else None
             s2 = _body_math(
                 s, col, srows, mats, params, slot_rays, frame_index,
                 sample_offset, primary_ray, **body_kw,
@@ -1224,19 +1326,8 @@ def run_megakernel(
     else:
         bodies = []
         for j in range(k_il):
-            def body(s: _Lane, slot_rays=_sub(slot_rays, j)) -> _Lane:
-                if e_count:
-                    trav = ~s.done & (s.entry < e_count) & (s.cur >= 0)
-                    idx = jnp.where(trav, s.cur, 0)
-                    # Gather along the minor axis of the PRE-transposed
-                    # bank: the (W, R) layout keeps each column a
-                    # contiguous (R,) lane vector, and the one transpose is
-                    # loop-invariant (hoisted) instead of per-iteration —
-                    # measured ~15% faster than table[idx].T per gather.
-                    rowt = rows_t[:, idx]  # (W, R)
-                    col = lambda j: rowt[j]
-                else:
-                    col = None
+            def body(s: _Lane, rowt, slot_rays=_sub(slot_rays, j)) -> _Lane:
+                col = (lambda i: rowt[i]) if rowt is not None else None
                 s2 = _body_math(
                     s, col, srows, mats, params, slot_rays, frame_index,
                     sample_offset, primary_ray, **body_kw,
@@ -1254,14 +1345,17 @@ def run_megakernel(
 
         def body_unrolled(s: _Lane) -> _Lane:
             for _ in range(unroll):
-                s = bodies[0](s)
+                s = bodies[0](s, _gather(s))
             return s
 
         final = lax.while_loop(cond, body_unrolled, lane)
     else:
         subs = tuple(_sub(lane, j) for j in range(k_il))
+        carry_rows = schedule == "carry" and e_count > 0
 
         def cond(ss):
+            if carry_rows:
+                ss = ss[0]
             live = jnp.any(~ss[0].done)
             for s in ss[1:]:
                 live |= jnp.any(~s.done)
@@ -1269,14 +1363,54 @@ def run_megakernel(
                 live &= ss[0].iters < iter_cap
             return live
 
-        def body_unrolled(ss):
-            ss = list(ss)
-            for _ in range(unroll):
-                for j in range(k_il):
-                    ss[j] = bodies[j](ss[j])
-            return tuple(ss)
+        if carry_rows:
+            # Software-pipelined schedule: the loop carries each sub-
+            # batch's GATHERED ROWS, issued one body-step ahead of the
+            # body that consumes them — body_j(step i) runs while
+            # gather_{j+1}(step i) is in flight, so every row DMA has a
+            # full Pallas body to hide behind (the in-line schedule
+            # gives the DMA nothing to overlap: its consumer is the
+            # very next op). Bitwise-identical: same per-lane sequence,
+            # rows just fetched one program point earlier.
+            def body_unrolled(carry):
+                ss, rowts = list(carry[0]), list(carry[1])
+                for _ in range(unroll):
+                    for j in range(k_il):
+                        ss[j] = bodies[j](ss[j], rowts[j])
+                        rowts[j] = _gather(ss[j])
+                return (tuple(ss), tuple(rowts))
 
-        finals = lax.while_loop(cond, body_unrolled, subs)
+            carry0 = (subs, tuple(_gather(s) for s in subs))
+            finals = lax.while_loop(cond, body_unrolled, carry0)[0]
+        else:
+            def body_unrolled(ss):
+                ss = list(ss)
+                for _ in range(unroll):
+                    if schedule == "gfirst":
+                        # All gathers first (independent DMAs), then
+                        # bodies. MEASURED PATHOLOGICAL on the v5e
+                        # staged ladder (2.9 vs inline's 30.4 Mrays/s,
+                        # probe_r5 vs probe_r6): hoisting every gather
+                        # ahead of every body serialises the DMAs
+                        # against each other instead of overlapping
+                        # each with the previous sub-batch's body.
+                        # Kept for A/B measurement.
+                        rowts = [_gather(ss[j]) for j in range(k_il)]
+                        for j in range(k_il):
+                            ss[j] = bodies[j](ss[j], rowts[j])
+                    else:
+                        # "inline": each sub-batch's gather is emitted
+                        # immediately before its own body; sub-batch
+                        # j's gather DMA overlaps j-1's Pallas body
+                        # (the XLA async scheduler hoists the
+                        # independent DMA past the preceding custom
+                        # call). Measured 30.4-34.4 Mrays/s on the
+                        # staged bunny ladder (scripts/probe_r6.py).
+                        for j in range(k_il):
+                            ss[j] = bodies[j](ss[j], _gather(ss[j]))
+                return tuple(ss)
+
+            finals = lax.while_loop(cond, body_unrolled, subs)
         # Re-assemble the full-width state (sub j held lanes
         # [j*m, (j+1)*m)) so callers — the staged-compaction driver and
         # the finalisers below — see exactly the interleave=1 layout.

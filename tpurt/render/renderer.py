@@ -193,14 +193,15 @@ def _mega_statics(cfg: RenderConfig, width: int, height: int) -> dict:
         rays_per_pixel=cfg.rays_per_pixel, max_bounces=cfg.max_bounces,
         seed_mode=cfg.seed_mode, invisible_budget=cfg.invisible_budget,
         subpixel_jitter=cfg.subpixel_jitter, body_backend=cfg.mega_body,
-        interleave=cfg.mega_interleave,
+        interleave=cfg.mega_interleave, tail_passes=cfg.mega_tail_passes,
+        schedule=cfg.mega_schedule,
     )
 
 
 @functools.partial(jax.jit, static_argnames=(
     "tile_h", "tile_w", "width", "height", "rays_per_pixel", "max_bounces",
     "seed_mode", "invisible_budget", "subpixel_jitter", "body_backend",
-    "interleave",
+    "interleave", "tail_passes", "schedule",
 ), keep_unused=True)
 def _mega_stage_start(scene, camera, coords, *, tile_h, tile_w, **statics):
     from tpurt.render.megakernel import run_megakernel
@@ -223,7 +224,7 @@ def _mega_stage_start(scene, camera, coords, *, tile_h, tile_w, **statics):
 @functools.partial(jax.jit, static_argnames=(
     "width", "height", "rays_per_pixel", "max_bounces",
     "seed_mode", "invisible_budget", "subpixel_jitter", "uncapped", "body_backend",
-    "pixels_per_lane", "pixel_stride", "interleave",
+    "pixels_per_lane", "pixel_stride", "interleave", "tail_passes", "schedule",
 ), keep_unused=True)
 def _mega_stage_more(scene, camera, state, frame_and_offset, *, uncapped=False,
                      pixels_per_lane=1, pixel_stride=None, **statics):
@@ -344,12 +345,20 @@ def _stage_cap(prev_curve, iters_now: int, target_active: int) -> int:
 
 def _mega_finish_staged(scene, camera, cfg: RenderConfig, state, active,
                         frame_index, sample_offset, r,
-                        pixels_per_lane: int = 1):
+                        pixels_per_lane: int = 1, stage_stats=None):
     """Shared tail of the host-staged compaction driver: run capped
     stages at full width while most lanes retire, then shrink to the
     surviving quarter and let the deep tail finish without taxing every
     lane. Stage caps are predicted from the previous batch's retirement
-    curve (_stage_cap). Returns (mean (R*P, 3), segs)."""
+    curve (_stage_cap). Returns (mean (R*P, 3), segs).
+
+    ``stage_stats`` (a list, optional) collects per-stage telemetry —
+    dicts of {width, iters, active, wall_s, and at folds the active
+    lanes' quota-progress histogram} — for the profiling harness and
+    scheduling probes; the extra device syncs it forces make it a
+    measurement tool, not a production default."""
+    import time as _time
+
     statics = _mega_statics(cfg, cfg.width, cfg.height)
     quota = dict(pixels_per_lane=pixels_per_lane, pixel_stride=r) \
         if pixels_per_lane > 1 else {}
@@ -365,22 +374,47 @@ def _mega_finish_staged(scene, camera, cfg: RenderConfig, state, active,
         while active > wq:
             cap = _stage_cap(prev, iters_now, wq)
             fo = jnp.asarray([frame_index, sample_offset, cap], jnp.int32)
+            t0 = _time.perf_counter()
             state, active = _mega_stage_more(
                 scene, camera, state, fo, **quota, **statics
             )
-            active = int(active)
+            active = int(active)  # blocks until the stage is done
             iters_now += cap
             curve.append((iters_now, active))
+            if stage_stats is not None:
+                stage_stats.append(dict(
+                    width=state.done.shape[0], iters=cap, active=active,
+                    wall_s=_time.perf_counter() - t0,
+                ))
         if active == 0:
             break
         small, idx = _mega_compact(state, quarter=wq)
         folds.append((state, idx))
         state = small
+        if stage_stats is not None and pixels_per_lane > 1:
+            # Quota progress of the lanes that survived into the fold:
+            # how many of their P pixel slots are not yet started — the
+            # pool a work-stealing schedule could re-balance.
+            alive = ~np.asarray(small.done)
+            pixno = np.asarray(small.pixno)[alive]
+            stage_stats.append(dict(
+                fold_to=int(wq), active=int(alive.sum()),
+                pixno_hist=np.bincount(
+                    pixno, minlength=pixels_per_lane
+                ).tolist(),
+            ))
     if active > 0:
         fo = jnp.asarray([frame_index, sample_offset, 0], jnp.int32)
+        t0 = _time.perf_counter()
         state, _ = _mega_stage_more(
             scene, camera, state, fo, uncapped=True, **quota, **statics
         )
+        if stage_stats is not None:
+            state.done.block_until_ready()
+            stage_stats.append(dict(
+                width=state.done.shape[0], iters=int(state.iters),
+                active=0, wall_s=_time.perf_counter() - t0, uncapped=True,
+            ))
     _RETIRE_CURVES[key] = curve
     for big, idx in reversed(folds):
         state = _mega_fold(big, state, idx)
@@ -447,7 +481,7 @@ def _flat_coords(coords, batch: int, width: int, height: int):
 @functools.partial(jax.jit, static_argnames=(
     "batch", "width", "height", "rays_per_pixel", "max_bounces",
     "seed_mode", "invisible_budget", "subpixel_jitter", "body_backend",
-    "pixels_per_lane", "interleave",
+    "pixels_per_lane", "interleave", "tail_passes", "schedule",
 ), keep_unused=True)
 def _mega_flat_full(scene, camera, coords, *, batch, pixels_per_lane=1,
                     **statics):
@@ -468,7 +502,7 @@ def _mega_flat_full(scene, camera, coords, *, batch, pixels_per_lane=1,
 @functools.partial(jax.jit, static_argnames=(
     "batch", "width", "height", "rays_per_pixel", "max_bounces",
     "seed_mode", "invisible_budget", "subpixel_jitter", "body_backend",
-    "pixels_per_lane", "interleave",
+    "pixels_per_lane", "interleave", "tail_passes", "schedule",
 ), keep_unused=True)
 def _mega_flat_start(scene, camera, coords, *, batch, pixels_per_lane=1,
                      **statics):
@@ -494,6 +528,7 @@ def render_batch_flat(
     start: int,
     frame_index: int = 0,
     sample_offset: int = 0,
+    stage_stats=None,
 ):
     """Mean radiance of one flat lane batch: pixels
     [start, start + B*pixels_per_lane) in row-major order, padded past
@@ -519,7 +554,7 @@ def render_batch_flat(
         )
         mean, segs = _mega_finish_staged(
             scene, camera, cfg, state, active, frame_index, sample_offset,
-            b, pixels_per_lane=p,
+            b, pixels_per_lane=p, stage_stats=stage_stats,
         )
         return mean, segs, None
     coords = jnp.asarray([start, frame_index, sample_offset], jnp.int32)
