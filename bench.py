@@ -106,9 +106,18 @@ def time_render_flat(scene, cam, cfg, repeats=2):
     b = _flat_batch_size(cfg) * cfg.pixels_per_lane  # pixels per launch
     n_batches = -(-total // b)
 
-    # Warmup / compile (both stage shapes).
-    m, s, it = render_batch_flat(scene, cam, cfg, 0)
-    _ = float(s) + int(np.asarray(_tonemap_dev(m)).sum())
+    # Warmup / compile: EVERY batch, twice, with the display D2H.
+    # Batch contents differ structurally (a 4K frame's first batch is
+    # all-miss sky and retires inside stage 0, so it never reaches the
+    # fold/uncapped executables the mid batches need), and axon
+    # compiles asynchronously — the dispatching call can return before
+    # the compile finishes and a LATER call absorbs the wait. One
+    # batch0-only warmup under-compiled exactly like that and the 4K
+    # row read 24s/frame for a 3.2s frame (scripts/probe_r15.py).
+    for _ in range(2):
+        for i in range(n_batches):
+            m, s, it = render_batch_flat(scene, cam, cfg, i * b)
+            _ = float(s) + int(np.asarray(_tonemap_dev(m)).sum())
 
     best = None
     for _ in range(repeats):
@@ -192,21 +201,31 @@ def run_config_anim(name, scene_kind, cfg, frames=2):
     log(f"[{name}] scene={scene_kind} {cfg.width}x{cfg.height} "
         f"spp={cfg.rays_per_pixel} frames={frames} batches={n_batches}")
 
-    m, s, _ = render_batch_flat(scene, cams[0], cfg, 0)  # warmup/compile
-    _ = float(s) + int(np.asarray(_tonemap_dev(m)).sum())
-
-    t0 = time.perf_counter()
-    segs = 0.0
-    for f, cam in enumerate(cams):
-        outs = []
+    # Warmup/compile: all batches, twice (see time_render_flat — batch
+    # contents differ structurally and axon compiles asynchronously, so
+    # a batch0-only warmup leaks compile waits into the timed frames).
+    for _ in range(2):
         for i in range(n_batches):
-            m, s, _ = render_batch_flat(scene, cam, cfg, i * b,
-                                        frame_index=f)
-            segs += float(s)
-            outs.append(m)
-        for m in outs:
-            np.asarray(_tonemap_dev(m))  # ship every frame's pixels
-    dt = time.perf_counter() - t0
+            m, s, _ = render_batch_flat(scene, cams[0], cfg, i * b)
+            _ = float(s) + int(np.asarray(_tonemap_dev(m)).sum())
+
+    best = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        segs = 0.0
+        for f, cam in enumerate(cams):
+            outs = []
+            for i in range(n_batches):
+                m, s, _ = render_batch_flat(scene, cam, cfg, i * b,
+                                            frame_index=f)
+                segs += float(s)
+                outs.append(m)
+            for m in outs:
+                np.asarray(_tonemap_dev(m))  # ship every frame's pixels
+        trial = time.perf_counter() - t0
+        if best is None or trial < best:
+            best = trial
+    dt = best
     mrays = segs / dt / 1e6
     log(f"[{name}] {frames} frames in {dt:.3f}s "
         f"({dt/frames:.3f}s/frame)  => {mrays:.1f} Mrays/s")
@@ -330,15 +349,21 @@ def main():
             RenderConfig(width=512, height=512, rays_per_pixel=4,
                          max_bounces=8, **common)))
         # Config 2: low-poly brute force, 720p — the speed-of-light dense
-        # path (BASELINE config 2), so it runs the MXU Pluecker engine;
-        # the bit-exact "exact" sweep is the tested parity anchor.
-        # (tile 256 measured faster than 720: the dense sweep's pair
-        # intermediates scale super-linearly with tile area.)
+        # path (BASELINE config 2). mega_dense: persistent lanes whose
+        # per-iteration "traversal" is one fused Plücker MXU sweep
+        # (render/plucker_fused.py) — measured 4.3 vs the modular
+        # Plücker engine's 1.8 Mrays/s (its AoS glue is the binding
+        # cost, notes/tpu_measurements.md); the bit-exact "exact" sweep
+        # remains the tested parity anchor.
         results.append(run_config(
             "teapot-720p-bruteforce", "teapot",
             RenderConfig(width=1280, height=720, rays_per_pixel=args.spp,
-                         max_bounces=4, bruteforce_threshold=1 << 30,
-                         engine="modular", dense_engine="plucker", **common)))
+                         max_bounces=4, mega_dense=True,
+                         rays_per_batch=230400,
+                         # P=4 covers the 921600-pixel frame in ONE
+                         # launch (230400*4) with no padded lanes — a
+                         # padded lane still pays its sweeps here.
+                         **{**common, "pixels_per_lane": 4})))
         # Same scene through the megakernel (BVH) for comparison.
         results.append(run_config(
             "teapot-720p-mega", "teapot",

@@ -82,6 +82,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "the measured sweet spot — and 1 elsewhere")
     p.add_argument("--rays-per-batch", type=int, default=d.rays_per_batch,
                    help="lanes per flat megakernel launch (0 = tile loop)")
+    p.add_argument("--interleave", type=int, default=None,
+                   help="megakernel sub-batches per loop iteration (row "
+                        "gathers overlap the previous sub-batch's compute; "
+                        "bitwise-identical; default 2 on TPU, 1 elsewhere)")
+    p.add_argument("--mega-dense", action="store_true",
+                   help="brute-force the megakernel: one fused Pluecker "
+                        "MXU sweep per bounce segment instead of the BVH "
+                        "walk (the reference's UseBVH=false mode; fastest "
+                        "below a few thousand triangles)")
     p.add_argument("--output", default="output.bmp")
     p.add_argument("--checkpoint", default=None,
                    help="npz tile accumulator path for resume/preview")
@@ -185,6 +194,12 @@ def main(argv=None) -> int:
             else (8 if _on_tpu_backend() else 1)
         ),
         rays_per_batch=args.rays_per_batch,
+        mega_interleave=(
+            args.interleave
+            if args.interleave is not None
+            else (2 if _on_tpu_backend() else 1)
+        ),
+        mega_dense=args.mega_dense,
     )
 
     from tpurt.scene.presets import default_scene

@@ -215,6 +215,19 @@ class RenderConfig:
     #: All three are bitwise-identical (same per-lane op sequence).
     mega_schedule: str = "inline"
 
+    #: Brute-force the megakernel: every loop iteration resolves each
+    #: live lane's whole current chain entry with ONE fused Plücker
+    #: MXU sweep (render/plucker_fused.py) instead of walking the BVH
+    #: row bank — the TPU-native form of the reference's UseBVH=false
+    #: dense mode (Trace.cl:276-317 + 444-482). One path segment per
+    #: lane per iteration, no row gathers; cost scales with the scene's
+    #: total chain-triangle count, so this is the small-scene /
+    #: cross-check engine (the BVH megakernel wins beyond a few
+    #: thousand triangles). Winner acceptance is Plücker-precision
+    #: (~1 ulp off the sequential math), shading data exact — the same
+    #: contract as dense_engine="plucker".
+    mega_dense: bool = False
+
     #: Dense-sweep backend for brute-force intersection (modular engine
     #: + fused static pass). ``"exact"`` is the broadcast VPU form,
     #: bit-identical to the scalar oracle. ``"plucker"`` rewrites MT as

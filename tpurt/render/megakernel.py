@@ -520,6 +520,8 @@ def _body_math(
     width: int = 0,
     height: int = 0,
     tail_passes: int = 1,
+    dense_hit=None,  # (t, normal V3, backface, mesh) from the fused
+    #   dense sweep — replaces the BVH walk when set (dense mode)
 ) -> _Lane:
     """One megakernel iteration AFTER the row gather: traversal step,
     chain fold, shade, sample bookkeeping, next-entry setup. Pure
@@ -541,7 +543,52 @@ def _body_math(
         )
 
     # ---------------- TRAVERSE: consume the gathered row --------------
-    if e_count:
+    if e_count and dense_hit is not None:
+        # DENSE MODE (render/plucker_fused.py): the fused Plücker sweep
+        # already resolved the lane's ENTIRE current entry this
+        # iteration (the reference's UseBVH=false per-mesh loop,
+        # Trace.cl:444-482); adopt its winner and fall through to the
+        # shared fold/enter below with the walk finished (cur = -1).
+        trav = ~s.done & (s.entry < e_count) & (s.cur >= 0)
+        entry_c = jnp.minimum(s.entry, e_count - 1)
+        scale_e = _sel(params.table, entry_c, e_count, _CP_SCALE)
+        d_t, d_nrm, d_back, d_mesh = dense_hit
+        lt = jnp.where(trav, d_t, s.lt)
+        lnrm = v3lib.where(trav, d_nrm, s.lnrm)
+        lback = _bsel(trav, d_back, s.lback)
+        lmesh = jnp.where(trav, d_mesh, s.lmesh)
+        stack = s.stack
+        cur = jnp.where(trav, -1, s.cur)
+        cur_leaf, cur_slot = s.cur_leaf, s.cur_slot
+
+        # ---------------- NEXT-MESH: fold + enter --------------------
+        fin = ~s.done & (s.entry < e_count) & (cur < 0)
+        lvalid = fin & (lmesh >= 0)
+        one_sided_e = _sel(params.table, entry_c, e_count, _CP_OS) != 0.0
+        lvalid &= ~(one_sided_e & lback)
+        lvalid &= scale_e > _EPS
+        point_l = s.lo + s.ld * lt
+        point_w = (
+            _rot_fwd(params.table, entry_c, e_count, point_l * scale_e)
+            + _sel_v3(params.table, entry_c, e_count, _CP_POS)
+        )
+        n_w = v3lib.normalize(_rot_fwd(params.table, entry_c, e_count, lnrm))
+        dst = v3lib.length(point_w - s.origin)
+        closer = lvalid & (dst < s.w_dst)
+        w_valid = _bsel(fin, s.w_valid | closer, s.w_valid)
+        w_dst = jnp.where(closer, dst, s.w_dst)
+        w_point = v3lib.where(closer, point_w, s.w_point)
+        w_normal = v3lib.where(closer, n_w, s.w_normal)
+        w_back = _bsel(closer, lback, s.w_back)
+        w_mesh = jnp.where(closer, lmesh, s.w_mesh)
+
+        entry = jnp.where(fin, s.entry + 1, s.entry)
+        in_chain = fin & (entry < e_count)
+        lt = jnp.where(fin, _INF, lt)
+        lnrm = v3lib.where(fin, V3(zeros, zeros, zeros), lnrm)
+        lback = lback & ~fin
+        lmesh = jnp.where(fin, -1, lmesh)
+    elif e_count:
         trav = ~s.done & (s.entry < e_count) & (s.cur >= 0)
 
         entry_c = jnp.minimum(s.entry, e_count - 1)
@@ -1028,6 +1075,7 @@ def run_megakernel(
     interleave: int = 1,
     tail_passes: int = 1,
     schedule: str = "inline",
+    dense: bool = False,
 ):
     """Returns (mean radiance (R*pixels_per_lane, 3), total path
     segments (scalar f32), iterations) — or the raw lane state when
@@ -1206,7 +1254,8 @@ def run_megakernel(
         tail_passes=max(1, int(tail_passes)),
     )
 
-    rows_t = scene.mega_rows.T if e_count else None  # (W, N), hoisted
+    dense = bool(dense) and e_count > 0
+    rows_t = scene.mega_rows.T if e_count and not dense else None  # (W, N)
 
     if body_backend == "auto":
         try:
@@ -1224,6 +1273,51 @@ def run_megakernel(
         # compile time and body size O(1) in the instance count where
         # the select chains grow O(K) per call site (unusable ~K=100).
         body_backend = "xla"
+    dense_table = None
+    if dense:
+        from tpurt.render.plucker_fused import (
+            build_dense_table, sweep_entry_local,
+        )
+
+        # Brute-force mode (the reference's UseBVH=false dense loop,
+        # Trace.cl:276-317 + 444-482): every iteration resolves each
+        # live lane's whole current chain entry with ONE fused Plücker
+        # sweep — its own Mosaic kernel — so the surrounding per-lane
+        # math runs as XLA ops (a Pallas body cannot nest the sweep,
+        # and the sweep dominates the iteration anyway). The table
+        # build is loop-invariant; XLA hoists it out of the while_loop.
+        dense_table = build_dense_table(scene)
+        body_backend = "xla"
+        interleave = 1
+        assert not debug_counters, "debug_counters unsupported in dense mode"
+
+        def _dense_hit(s: _Lane):
+            """Sweep + exact winner recompute -> (t, normal, backface,
+            mesh/-1). Mirrors intersect._finalize_local: acceptance and
+            t come from the fast sweep, shading data from the exact MT
+            on the single winner triangle (Trace.cl:276-317)."""
+            from tpurt.render.intersect import _mt_single
+
+            ec = jnp.minimum(s.entry, e_count - 1)
+            t_sw, colw = sweep_entry_local(s.lo, s.ld, ec, dense_table)
+            valid = colw >= 0
+            cc = jnp.maximum(colw, 0)
+            tri = dense_table.ids[0, cc]
+            owner = dense_table.owner[0, cc]
+            cull_w = dense_table.cull[0, cc] != 0.0
+            lo_rows = v3lib.to_rows(s.lo)
+            ld_rows = v3lib.to_rows(s.ld)
+            ok, _t_e, n, back = _mt_single(
+                lo_rows, ld_rows,
+                scene.tri_pos_a[tri], scene.tri_pos_b[tri],
+                scene.tri_pos_c[tri],
+                scene.tri_nrm_a[tri], scene.tri_nrm_b[tri],
+                scene.tri_nrm_c[tri],
+                cull_w,
+            )
+            d_mesh = jnp.where(valid & ok, owner.astype(jnp.int32), -1)
+            return t_sw, v3lib.from_rows(n), back, d_mesh
+
     if body_backend == "pallas" and unroll == 1:
         # Two kernel launches per while_loop trip halve the cond-sync
         # count (measured +6% on the bunny frame); trajectories are
@@ -1271,8 +1365,8 @@ def run_megakernel(
         body-step ahead of its consumer ("carry") — either way the DMA
         gets an independent Pallas body to overlap with instead of its
         consumer being the very next op."""
-        if not e_count:
-            return None
+        if not e_count or dense:
+            return None  # dense mode sweeps; there is no row bank walk
         trav = ~s.done & (s.entry < e_count) & (s.cur >= 0)
         idx = jnp.where(trav, s.cur, 0)
         # Gather along the minor axis of the PRE-transposed bank: the
@@ -1328,9 +1422,10 @@ def run_megakernel(
         for j in range(k_il):
             def body(s: _Lane, rowt, slot_rays=_sub(slot_rays, j)) -> _Lane:
                 col = (lambda i: rowt[i]) if rowt is not None else None
+                dh = _dense_hit(s) if dense_table is not None else None
                 s2 = _body_math(
                     s, col, srows, mats, params, slot_rays, frame_index,
-                    sample_offset, primary_ray, **body_kw,
+                    sample_offset, primary_ray, dense_hit=dh, **body_kw,
                 )
                 return s2._replace(iters=s.iters + 1)
 

@@ -71,6 +71,33 @@ class PluckerTable(NamedTuple):
     count: int  # real triangle count
 
 
+def component_rows(pa, e1, e2, ng):
+    """The four per-triangle coefficient blocks, each (10, T) f32, in
+    the feature basis [d, w=d x o, o, 1] (rows 0:3 d, 3:6 w, 6:9 o,
+    9 const). Shared by the chunked XLA sweep (PluckerTable) and the
+    fused Mosaic sweep (render/plucker_fused.py)."""
+    t = pa.shape[0]
+
+    def col3(x):  # (T,3) -> (3, T)
+        return jnp.transpose(x)
+
+    det_c = jnp.concatenate(
+        [col3(jnp.cross(e2, e1)), jnp.zeros((7, t), _F32)], axis=0
+    )  # d-coeff rows 0:3
+    u_c = jnp.concatenate(
+        [col3(jnp.cross(pa, e2)), col3(-e2), jnp.zeros((4, t), _F32)], axis=0
+    )  # d rows 0:3, w rows 3:6
+    v_c = jnp.concatenate(
+        [col3(-jnp.cross(pa, e1)), col3(e1), jnp.zeros((4, t), _F32)], axis=0
+    )
+    t_c = jnp.concatenate(
+        [jnp.zeros((6, t), _F32), col3(ng),
+         -jnp.sum(pa * ng, axis=-1)[None, :]],
+        axis=0,
+    )  # o rows 6:9, const row 9
+    return det_c, u_c, v_c, t_c
+
+
 def build_plucker_table(pa, pb, pc, cull, tri_id, na=None, nb=None, nc=None) -> PluckerTable:
     """Precompute the coefficient matrix for a triangle set (traced or
     numpy inputs, all (T, 3) / (T,)).
@@ -94,24 +121,7 @@ def build_plucker_table(pa, pb, pc, cull, tri_id, na=None, nb=None, nc=None) -> 
     else:
         orient = jnp.ones((t,), _F32)
 
-    def col3(x):  # (T,3) -> (3, T)
-        return jnp.transpose(x)
-
-    zeros = jnp.zeros((1, t), _F32)
-    det_c = jnp.concatenate(
-        [col3(jnp.cross(e2, e1)), jnp.zeros((7, t), _F32)], axis=0
-    )  # d-coeff rows 0:3
-    u_c = jnp.concatenate(
-        [col3(jnp.cross(pa, e2)), col3(-e2), jnp.zeros((4, t), _F32)], axis=0
-    )  # d rows 0:3, w rows 3:6
-    v_c = jnp.concatenate(
-        [col3(-jnp.cross(pa, e1)), col3(e1), jnp.zeros((4, t), _F32)], axis=0
-    )
-    t_c = jnp.concatenate(
-        [jnp.zeros((6, t), _F32), col3(ng),
-         -jnp.sum(pa * ng, axis=-1)[None, :], zeros * 0],
-        axis=0,
-    )[:10]  # o rows 6:9, const row 9
+    det_c, u_c, v_c, t_c = component_rows(pa, e1, e2, ng)
 
     def pad_cols(m):
         return jnp.pad(m, ((0, K_FEATURES - 10), (0, tpad - t)))

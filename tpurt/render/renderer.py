@@ -194,14 +194,14 @@ def _mega_statics(cfg: RenderConfig, width: int, height: int) -> dict:
         seed_mode=cfg.seed_mode, invisible_budget=cfg.invisible_budget,
         subpixel_jitter=cfg.subpixel_jitter, body_backend=cfg.mega_body,
         interleave=cfg.mega_interleave, tail_passes=cfg.mega_tail_passes,
-        schedule=cfg.mega_schedule,
+        schedule=cfg.mega_schedule, dense=cfg.mega_dense,
     )
 
 
 @functools.partial(jax.jit, static_argnames=(
     "tile_h", "tile_w", "width", "height", "rays_per_pixel", "max_bounces",
     "seed_mode", "invisible_budget", "subpixel_jitter", "body_backend",
-    "interleave", "tail_passes", "schedule",
+    "interleave", "tail_passes", "schedule", "dense",
 ), keep_unused=True)
 def _mega_stage_start(scene, camera, coords, *, tile_h, tile_w, **statics):
     from tpurt.render.megakernel import run_megakernel
@@ -224,7 +224,7 @@ def _mega_stage_start(scene, camera, coords, *, tile_h, tile_w, **statics):
 @functools.partial(jax.jit, static_argnames=(
     "width", "height", "rays_per_pixel", "max_bounces",
     "seed_mode", "invisible_budget", "subpixel_jitter", "uncapped", "body_backend",
-    "pixels_per_lane", "pixel_stride", "interleave", "tail_passes", "schedule",
+    "pixels_per_lane", "pixel_stride", "interleave", "tail_passes", "schedule", "dense",
 ), keep_unused=True)
 def _mega_stage_more(scene, camera, state, frame_and_offset, *, uncapped=False,
                      pixels_per_lane=1, pixel_stride=None, **statics):
@@ -481,7 +481,7 @@ def _flat_coords(coords, batch: int, width: int, height: int):
 @functools.partial(jax.jit, static_argnames=(
     "batch", "width", "height", "rays_per_pixel", "max_bounces",
     "seed_mode", "invisible_budget", "subpixel_jitter", "body_backend",
-    "pixels_per_lane", "interleave", "tail_passes", "schedule",
+    "pixels_per_lane", "interleave", "tail_passes", "schedule", "dense",
 ), keep_unused=True)
 def _mega_flat_full(scene, camera, coords, *, batch, pixels_per_lane=1,
                     **statics):
@@ -502,7 +502,7 @@ def _mega_flat_full(scene, camera, coords, *, batch, pixels_per_lane=1,
 @functools.partial(jax.jit, static_argnames=(
     "batch", "width", "height", "rays_per_pixel", "max_bounces",
     "seed_mode", "invisible_budget", "subpixel_jitter", "body_backend",
-    "pixels_per_lane", "interleave", "tail_passes", "schedule",
+    "pixels_per_lane", "interleave", "tail_passes", "schedule", "dense",
 ), keep_unused=True)
 def _mega_flat_start(scene, camera, coords, *, batch, pixels_per_lane=1,
                      **statics):

@@ -661,6 +661,9 @@ class SceneBuilder:
             chain.append((-1, root_row, root_leaf))
             mega_depth = max(mega_depth, d)
 
+        chain_members: List[Tuple[int, ...]] = (
+            [tuple(static_members)] if static_members else []
+        )
         emitted_roots: Dict[int, Tuple[int, bool]] = {}
         for i, m in enumerate(self.meshes):
             if i in static_members or i in inline_eligible or m.num_tris == 0:
@@ -675,6 +678,7 @@ class SceneBuilder:
                 mega_depth = max(mega_depth, d)
                 emitted_roots[m.node_idx] = (root_row, root_leaf)
             chain.append((i, root_row, root_leaf))
+            chain_members.append((i,))
 
         mega_rows = (
             np.stack(mega_rows_list)
@@ -732,6 +736,7 @@ class SceneBuilder:
             mega_static_rows=jnp.asarray(mega_static_rows),
             max_leaf_tris=max(max_leaf, 1),
             mega_chain=tuple(chain),
+            mega_chain_members=tuple(chain_members),
             mega_stack_depth=int(mega_depth) + 2,
             mega_static_cull=tuple(static_cull),
             mega_static_onesided=tuple(static_onesided),

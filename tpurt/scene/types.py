@@ -136,6 +136,14 @@ class Scene:
     mega_chain: Tuple[Tuple[int, int, bool], ...] = struct.field(
         pytree_node=False, default=()
     )
+    #: Member mesh ids per mega_chain entry: (i,) for a regular entry,
+    #: the fused static-geometry members for a -1 entry. Lets the dense
+    #: megakernel (render/plucker_fused.py) rebuild each entry's
+    #: triangle set from mesh_tri_ranges without re-deriving the
+    #: freeze-time routing.
+    mega_chain_members: Tuple[Tuple[int, ...], ...] = struct.field(
+        pytree_node=False, default=()
+    )
     #: Register-file traversal stack entries needed for the deepest
     #: 8-wide subtree (static; sets the megakernel's shift-chain length).
     mega_stack_depth: int = struct.field(pytree_node=False, default=8)
