@@ -215,6 +215,17 @@ class RenderConfig:
     #: All three are bitwise-identical (same per-lane op sequence).
     mega_schedule: str = "inline"
 
+    #: Respread the staged quota tail: when the surviving lanes'
+    #: remaining quota pixels fit one 65536-wide batch, re-trace them
+    #: as a fresh dense P=1 batch instead of grinding the uncapped
+    #: stage at ~3% occupancy (a straggler lane can still hold up to P
+    #: unstarted pixels). Pixel traces are pure functions of the pixel
+    #: index, so the respread frame is identical up to the usual
+    #: staged-executable 1-ulp class. The SPMD answer to the
+    #: reference's dynamic work queue draining its tail
+    #: (src/image.hpp:289-333).
+    mega_tail_respread: bool = True
+
     #: Brute-force the megakernel: every loop iteration resolves each
     #: live lane's whole current chain entry with ONE fused Plücker
     #: MXU sweep (render/plucker_fused.py) instead of walking the BVH

@@ -289,6 +289,83 @@ def _mega_finalize(state, spp):
     return mean, jnp.sum(state.segments.astype(jnp.float32))
 
 
+#: Widest tail batch the respread scheduler will launch (and the
+#: alive-lane bound under which it activates: active*P must fit).
+_TAIL_RESPREAD_MAX = 65536
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "p_count", "stride", "wh", "max_lanes",
+))
+def _collect_tail_pixels(state, *, p_count, stride, wh, max_lanes):
+    """Every incomplete pixel of a quota batch, packed valid-first.
+
+    A lane owns quota pixels ``pix + (j - pixno)*stride`` for slots
+    ``j = 0..p_count-1`` (megakernel quota advance); slots ``>= pixno``
+    of an alive lane are incomplete — the current in-flight pixel plus
+    any unstarted ones. Caller guarantees ``active <= max_lanes`` so
+    the lane sort cannot drop an alive lane. Returns
+    ((max_lanes*p_count,) uint32 pixel ids — pad entries hold wh-1 —
+    and the valid count)."""
+    order = jnp.argsort(state.done, stable=True)[:max_lanes]
+    alive = ~state.done[order]
+    pixno = state.pixno[order][:, None]
+    base = state.pix.astype(jnp.int32)[order][:, None]
+    js = jnp.arange(p_count, dtype=jnp.int32)[None, :]
+    # Same frame-end clamp as the in-kernel quota advance (adv_pix).
+    cand = jnp.minimum(base + (js - pixno) * np.int32(stride),
+                       np.int32(wh - 1))
+    valid = alive[:, None] & (js >= pixno)
+    flat_c = cand.reshape(-1)
+    flat_v = valid.reshape(-1)
+    pack = jnp.argsort(~flat_v, stable=True)
+    pix = jnp.where(flat_v[pack], flat_c[pack], np.int32(wh - 1))
+    return pix.astype(jnp.uint32), jnp.sum(flat_v.astype(jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "tail_w", "width", "height", "rays_per_pixel", "max_bounces",
+    "seed_mode", "invisible_budget", "subpixel_jitter", "body_backend",
+    "interleave", "tail_passes", "schedule", "dense",
+), keep_unused=True)
+def _mega_tail_full(scene, camera, pixpack, coords, *, tail_w, **statics):
+    """Respread tail: trace ``pixpack[:tail_w]`` as a fresh dense P=1
+    batch to completion. A pixel's trace is a pure function of its
+    absolute index (seeds, camera ray), so re-tracing an in-flight
+    pixel from sample 0 reproduces the quota batch's radiance for it
+    exactly (same per-lane op sequence; only XLA fusion context
+    differs — the 1-ulp class shared by every staged executable)."""
+    from tpurt.render.megakernel import run_megakernel
+
+    width, height = statics["width"], statics["height"]
+    pix = pixpack[:tail_w]
+    xs = (pix % jnp.uint32(width)).astype(jnp.int32)
+    ys = (pix // jnp.uint32(width)).astype(jnp.int32)
+    uv = pixel_uv(xs, ys, width, height)
+    ro0, rd0 = make_ray(camera, uv)
+    mean, segs, _iters = run_megakernel(
+        scene, ro0, rd0, pix, coords[0], sample_offset=coords[1],
+        camera=camera, **statics,
+    )
+    return mean, segs
+
+
+@jax.jit
+def _tail_overwrite(mean, tail_mean, pixpack, n_valid, start):
+    """Scatter the respread tail's radiance over the batch mean at the
+    tail pixels' slots (slot of pixel p is p - start; quota-mode mean
+    is positionally pixels [start, start + r*P)). Pad entries and
+    out-of-batch clamps drop; duplicate frame-end clamp pixels write
+    identical values (pixel-pure traces)."""
+    limit = mean.shape[0]
+    tw = tail_mean.shape[0]
+    idx = pixpack[:tw].astype(jnp.int32) - start
+    j = jnp.arange(tw)
+    ok = (j < n_valid) & (idx >= 0) & (idx < limit)
+    idx = jnp.where(ok, idx, limit)
+    return mean.at[idx].set(tail_mean, mode="drop")
+
+
 #: Last observed retirement curve per (scene, shape) — a list of
 #: (cumulative iterations, active lanes) host checkpoints. The next
 #: batch with the same key predicts its stage caps from it, so host
@@ -345,12 +422,25 @@ def _stage_cap(prev_curve, iters_now: int, target_active: int) -> int:
 
 def _mega_finish_staged(scene, camera, cfg: RenderConfig, state, active,
                         frame_index, sample_offset, r,
-                        pixels_per_lane: int = 1, stage_stats=None):
+                        pixels_per_lane: int = 1, stage_stats=None,
+                        start: int = 0):
     """Shared tail of the host-staged compaction driver: run capped
     stages at full width while most lanes retire, then shrink to the
     surviving quarter and let the deep tail finish without taxing every
     lane. Stage caps are predicted from the previous batch's retirement
     curve (_stage_cap). Returns (mean (R*P, 3), segs).
+
+    Respread tail (quota batches): once the alive lanes' remaining
+    quota pixels fit one _TAIL_RESPREAD_MAX batch, the deep tail is not
+    ground out in place — a straggler lane can hold up to P unstarted
+    pixels, so the uncapped stage runs hundreds of iterations at ~3%
+    occupancy (measured 554 iters for 2147/65536 lanes on the 4K
+    frame). Instead every incomplete pixel is collected and re-traced
+    as a fresh dense P=1 batch (pixel traces are pure functions of the
+    pixel index; in-flight pixels restart from sample 0, re-tracing at
+    most ~active partial pixels), and its radiance overwrites those
+    slots. The work-redistribution answer to the reference's dynamic
+    queue tail (image.hpp:289-333) in SPMD form.
 
     ``stage_stats`` (a list, optional) collects per-stage telemetry —
     dicts of {width, iters, active, wall_s, and at folds the active
@@ -366,12 +456,24 @@ def _mega_finish_staged(scene, camera, cfg: RenderConfig, state, active,
     key = _curve_key(scene, cfg, r, pixels_per_lane)
     prev = _RETIRE_CURVES.get(key)
 
+    respread_lanes = (
+        _TAIL_RESPREAD_MAX // pixels_per_lane
+        if pixels_per_lane > 1 and cfg.mega_tail_respread else 0
+    )
+    if respread_lanes and respread_lanes < widths[-1]:
+        # Virtual final ladder level: keep running capped stages at the
+        # last compacted width until the survivors fit a respread batch
+        # (the break below fires before this level would compact).
+        widths = widths + [respread_lanes]
+
     active = int(active)
     iters_now = 0  # stage grid index; iters itself is not fetched
     curve = [(iters_now, active)]
     folds = []  # (wider_state, idx) per compaction, innermost last
     for wq in widths:
         while active > wq:
+            if respread_lanes and active <= respread_lanes:
+                break
             cap = _stage_cap(prev, iters_now, wq)
             fo = jnp.asarray([frame_index, sample_offset, cap], jnp.int32)
             t0 = _time.perf_counter()
@@ -386,7 +488,7 @@ def _mega_finish_staged(scene, camera, cfg: RenderConfig, state, active,
                     width=state.done.shape[0], iters=cap, active=active,
                     wall_s=_time.perf_counter() - t0,
                 ))
-        if active == 0:
+        if active == 0 or (respread_lanes and active <= respread_lanes):
             break
         small, idx = _mega_compact(state, quarter=wq)
         folds.append((state, idx))
@@ -403,7 +505,25 @@ def _mega_finish_staged(scene, camera, cfg: RenderConfig, state, active,
                     pixno, minlength=pixels_per_lane
                 ).tolist(),
             ))
-    if active > 0:
+    tail = None  # (pixpack, n_valid_dev, tail_w)
+    if active > 0 and respread_lanes and active <= respread_lanes:
+        t0 = _time.perf_counter()
+        pixpack, n_valid_dev = _collect_tail_pixels(
+            state, p_count=pixels_per_lane, stride=r,
+            wh=cfg.width * cfg.height, max_lanes=respread_lanes,
+        )
+        n_valid = int(n_valid_dev)
+        tail_w = 2048
+        while tail_w < n_valid:
+            tail_w *= 2
+        tail_w = min(tail_w, pixpack.shape[0])
+        tail = (pixpack, n_valid_dev, tail_w)
+        if stage_stats is not None:
+            stage_stats.append(dict(
+                respread=tail_w, incomplete=n_valid, active=active,
+                wall_s=_time.perf_counter() - t0,
+            ))
+    elif active > 0:
         fo = jnp.asarray([frame_index, sample_offset, 0], jnp.int32)
         t0 = _time.perf_counter()
         state, _ = _mega_stage_more(
@@ -418,7 +538,27 @@ def _mega_finish_staged(scene, camera, cfg: RenderConfig, state, active,
     _RETIRE_CURVES[key] = curve
     for big, idx in reversed(folds):
         state = _mega_fold(big, state, idx)
-    return _mega_finalize(state, jnp.int32(cfg.rays_per_pixel))
+    mean, segs = _mega_finalize(state, jnp.int32(cfg.rays_per_pixel))
+    if tail is not None:
+        pixpack, n_valid_dev, tail_w = tail
+        fo = jnp.asarray([frame_index, sample_offset], jnp.int32)
+        t0 = _time.perf_counter()
+        # interleave=1: sub-batch overlap doesn't pay at tail widths
+        # and halves the Mosaic shape count this path compiles.
+        tmean, tsegs = _mega_tail_full(
+            scene, camera, pixpack, fo, tail_w=tail_w,
+            **{**statics, "interleave": 1},
+        )
+        mean = _tail_overwrite(mean, tmean, pixpack, n_valid_dev,
+                               jnp.int32(start))
+        segs = segs + tsegs
+        if stage_stats is not None:
+            mean.block_until_ready()
+            stage_stats.append(dict(
+                respread_done=tail_w,
+                wall_s=_time.perf_counter() - t0,
+            ))
+    return mean, segs
 
 
 def _render_tile_mega_staged(
@@ -554,7 +694,7 @@ def render_batch_flat(
         )
         mean, segs = _mega_finish_staged(
             scene, camera, cfg, state, active, frame_index, sample_offset,
-            b, pixels_per_lane=p, stage_stats=stage_stats,
+            b, pixels_per_lane=p, stage_stats=stage_stats, start=start,
         )
         return mean, segs, None
     coords = jnp.asarray([start, frame_index, sample_offset], jnp.int32)
