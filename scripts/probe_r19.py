@@ -1,0 +1,81 @@
+"""Round-3 probe 19 (v5e): unroll depth + deeper quotas under respread.
+
+A. MEGA_UNROLL in {2, 4, 8} at the headline config (262k P8 il2
+   staged+respread): each extra unrolled body halves the while_loop's
+   fixed cond-sync share and gives the async scheduler one more
+   independent gather to overlap across the former trip boundary.
+   jax.clear_caches() between settings (the constant is captured at
+   trace time).
+B. P=16 and P=12 quotas at unroll 2: deeper quotas flatten per-lane
+   work variance; the old P=12/P=16 losses (padding waste, unstarted-
+   pixel tails) predate the respread tail, which re-traces exactly
+   those unstarted pixels densely.
+
+Usage: python scripts/probe_r19.py
+"""
+
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
+import importlib.util
+
+spec = importlib.util.spec_from_file_location("benchmod", "bench.py")
+bm = importlib.util.module_from_spec(spec)
+spec.loader.exec_module(bm)
+
+import numpy as np
+
+import tpurt.config as C
+from tpurt.config import RenderConfig
+from tpurt.render.renderer import _tonemap_dev, render_batch_flat
+
+print("devices:", jax.devices(), flush=True)
+
+results = []
+
+
+def run(tag, unroll, **kw):
+    C.MEGA_UNROLL = unroll
+    jax.clear_caches()
+    kw.setdefault("rays_per_batch", 262144)
+    cfg = RenderConfig(width=1920, height=1080, rays_per_pixel=8,
+                       max_bounces=4, seed_mode="reference", tile_size=256,
+                       mega_interleave=2, **kw)
+    scene, cam = bm.build_scene("bunny", cfg)
+    for _ in range(2):
+        m, s, _ = render_batch_flat(scene, cam, cfg, 0)
+        _ = float(s) + int(np.asarray(_tonemap_dev(m)).sum())
+    best = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        m, s, _ = render_batch_flat(scene, cam, cfg, 0)
+        segs = float(s)
+        np.asarray(_tonemap_dev(m))
+        dt = time.perf_counter() - t0
+        if best is None or dt < best:
+            best = dt
+    out = dict(name=tag, unroll=unroll, seconds=round(best, 3),
+               mrays=round(segs / best / 1e6, 2))
+    results.append(out)
+    print(json.dumps(out), flush=True)
+    with open("/tmp/probe_r19.json", "w") as f:
+        json.dump(results, f, indent=1)
+
+
+run("u2-p8", 2, pixels_per_lane=8)
+run("u4-p8", 4, pixels_per_lane=8)
+run("u8-p8", 8, pixels_per_lane=8)
+# Deeper quota at HALF the lanes so one batch still covers ~the frame
+# (131072*16 = 2.097M pixels ~ 1920*1080): per-lane work doubles and
+# iteration width halves; respread handles the unstarted-pixel tail
+# that sank deep quotas before. Sub-batches fall below the interleave
+# floor -> il1.
+run("u2-p16-131k", 2, pixels_per_lane=16, rays_per_batch=131072)

@@ -42,6 +42,16 @@ SELECT_GATHER_THRESHOLD = 24
 #: iteration that finishes a segment.
 MEGA_SKIP_CAP = 3
 
+#: Pallas-body while_loop unroll: bodies emitted per loop trip. Each
+#: extra body halves the share of the loop's fixed cond-sync cost and
+#: gives the async scheduler one more independent gather/body pair to
+#: overlap across the former iteration boundary; trajectories are
+#: unchanged (an unrolled body just advances further per trip, always
+#: valid). XLA-backed bodies keep unroll=1 (doubling an already-huge
+#: XLA loop body explodes CPU compile time). Read at trace time via
+#: _config_mod() so probes can sweep it (with jax.clear_caches()).
+MEGA_UNROLL = 2
+
 #: Minimum lanes per interleaved sub-batch. Interleaving pays because
 #: sub-batch j's row-gather DMA overlaps sub-batch j-1's Pallas body
 #: (scripts/probe_r3b.py: 46 -> 12 ns/row), but the XLA gather engine's

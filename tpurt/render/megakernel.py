@@ -1319,12 +1319,13 @@ def run_megakernel(
             return t_sw, v3lib.from_rows(n), back, d_mesh
 
     if body_backend == "pallas" and unroll == 1:
-        # Two kernel launches per while_loop trip halve the cond-sync
-        # count (measured +6% on the bunny frame); trajectories are
-        # unchanged — an unrolled body just advances one more
-        # iteration, which is always valid. XLA-body keeps unroll=1
-        # (it doubles an already-huge loop body for CPU compiles).
-        unroll = 2
+        # Multiple kernel launches per while_loop trip divide the
+        # cond-sync count (measured +6% at 2 on the bunny frame);
+        # trajectories are unchanged — an unrolled body just advances
+        # one more iteration, which is always valid. XLA-body keeps
+        # unroll=1 (it doubles an already-huge loop body for CPU
+        # compiles). Tunable: config.MEGA_UNROLL.
+        unroll = max(1, int(_config_mod().MEGA_UNROLL))
 
     # Interleaved sub-batches: split the R lanes into k INDEPENDENT
     # sub-states stepped back-to-back inside one while_loop iteration
