@@ -381,7 +381,16 @@ def _curve_key(scene, cfg: RenderConfig, r: int, p: int):
     )
 
 
+#: Probe override for the compaction-width ladder (a list of absolute
+#: widths, widest first). Read at schedule time by the un-jitted staged
+#: driver, so sweeps need no cache clearing; None = the measured
+#: default ladder below.
+_STAGE_WIDTHS_OVERRIDE = None
+
+
 def _stage_widths(r: int):
+    if _STAGE_WIDTHS_OVERRIDE is not None:
+        return [w for w in _STAGE_WIDTHS_OVERRIDE if w < r] or [r // 4]
     # Quarter-step width ladder (r/4, r/16, ... >= 1024): each level
     # is one fixed executable width, so the Mosaic kernels compile
     # once per level and the deep tail runs at ~its own width instead
