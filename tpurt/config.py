@@ -236,6 +236,18 @@ class RenderConfig:
     #: (src/image.hpp:289-333).
     mega_tail_respread: bool = True
 
+    #: Speculative replay of the staged schedule: after one blocking
+    #: run of a (scene, shape) key, later frames dispatch the SAME
+    #: stage/compact/respread sequence without blocking host reads and
+    #: validate guard scalars after dispatch (one readback, overlapped
+    #: with queued device work). Each blocking int(active) costs ~25 ms
+    #: of device idle over the axon tunnel (scripts/probe_r21.py), and
+    #: removing them lets multi-batch frames pipeline on the device. A
+    #: failed guard (the retirement curve shifted) falls back to the
+    #: blocking path from the untouched entry state — always correct,
+    #: one speculative pass wasted.
+    mega_speculative: bool = True
+
     #: Brute-force the megakernel: every loop iteration resolves each
     #: live lane's whole current chain entry with ONE fused Plücker
     #: MXU sweep (render/plucker_fused.py) instead of walking the BVH

@@ -373,6 +373,25 @@ def _tail_overwrite(mean, tail_mean, pixpack, n_valid, start):
 #: fixed 384-iteration grid (caps are traced operands — no recompiles).
 _RETIRE_CURVES: dict = {}
 
+#: Executed-schedule cache per (scene, shape) key: the decision trace
+#: (stages run, compaction widths, respread tail width) of the last
+#: blocking run of _mega_finish_staged. A later frame with the same key
+#: REPLAYS the trace speculatively: every stage/compact/collect/tail is
+#: dispatched WITHOUT blocking host reads, guard scalars are gathered,
+#: and the one guard readback overlaps the queued device work. A
+#: blocking int(active) costs ~25 ms of device idle over the axon
+#: tunnel (scripts/probe_r21.py: dispatched-scalar readback 25.6 ms,
+#: 3-4 of them per staged batch), and removing them also lets
+#: multi-batch frames pipeline back-to-back on the device. Guard
+#: failure (the retirement curve shifted across frames) falls back to
+#: the blocking path from the ORIGINAL entry state — bitwise-correct,
+#: one speculative pass wasted.
+_SCHED_TRACES: dict = {}
+
+#: Observability for the speculative scheduler (tests + profiling):
+#: how many staged batches replayed a cached trace vs fell back.
+_SPEC_STATS = {"replayed": 0, "fallback": 0}
+
 
 def _curve_key(scene, cfg: RenderConfig, r: int, p: int):
     return (
@@ -429,6 +448,112 @@ def _stage_cap(prev_curve, iters_now: int, target_active: int) -> int:
     return _MEGA_STAGE_ITERS
 
 
+def _assemble_staged(scene, camera, cfg: RenderConfig, state, folds, tail,
+                     frame_index, sample_offset, statics, start,
+                     stage_stats=None):
+    """Shared epilogue of the staged drivers: unfold compactions, build
+    the mean, trace + scatter the respread tail (if any)."""
+    import time as _time
+
+    for big, idx in reversed(folds):
+        state = _mega_fold(big, state, idx)
+    mean, segs = _mega_finalize(state, jnp.int32(cfg.rays_per_pixel))
+    if tail is not None:
+        pixpack, n_valid_dev, tail_w = tail
+        fo = jnp.asarray([frame_index, sample_offset], jnp.int32)
+        t0 = _time.perf_counter()
+        # interleave=1: sub-batch overlap doesn't pay at tail widths
+        # and halves the Mosaic shape count this path compiles.
+        tmean, tsegs = _mega_tail_full(
+            scene, camera, pixpack, fo, tail_w=tail_w,
+            **{**statics, "interleave": 1},
+        )
+        mean = _tail_overwrite(mean, tmean, pixpack, n_valid_dev,
+                               jnp.int32(start))
+        segs = segs + tsegs
+        if stage_stats is not None:
+            mean.block_until_ready()
+            stage_stats.append(dict(
+                respread_done=tail_w,
+                wall_s=_time.perf_counter() - t0,
+            ))
+    return mean, segs
+
+
+def _mega_replay_staged(scene, camera, cfg: RenderConfig, state, active_dev,
+                        frame_index, sample_offset, r, pixels_per_lane,
+                        start, plan):
+    """Speculative replay of a cached staged schedule (_SCHED_TRACES):
+    dispatches every step asynchronously, then validates the gathered
+    guard scalars with ONE readback that overlaps the queued device
+    work. Returns (mean, segs) or None if a guard failed (the caller
+    re-runs the blocking path from its saved entry state).
+
+    Guards protect exactly the steps that can DROP work when the
+    retirement curve shifted since the trace was recorded:
+      * compact to width w   — requires active <= w (the stable argsort
+        keeps alive lanes first; overflow would discard alive lanes);
+      * respread collect     — requires active <= max_lanes for the
+        same reason, and n_valid <= tail_w so no incomplete pixel is
+        left untraced.
+    Extra stages on an already-drained batch are harmless (the
+    while_loop cond exits immediately), so stage steps need no guard.
+    """
+    statics = _mega_statics(cfg, cfg.width, cfg.height)
+    quota = dict(pixels_per_lane=pixels_per_lane, pixel_stride=r) \
+        if pixels_per_lane > 1 else {}
+    respread_lanes = (
+        _TAIL_RESPREAD_MAX // pixels_per_lane
+        if pixels_per_lane > 1 and cfg.mega_tail_respread else 0
+    )
+    guards = []
+    folds = []
+    tail = None
+    for step in plan:
+        kind = step[0]
+        if kind == "stage":
+            fo = jnp.asarray([frame_index, sample_offset, step[1]], jnp.int32)
+            state, active_dev = _mega_stage_more(
+                scene, camera, state, fo, **quota, **statics
+            )
+        elif kind == "compact":
+            wq = step[1]
+            guards.append(active_dev <= wq)
+            small, idx = _mega_compact(state, quarter=wq)
+            folds.append((state, idx))
+            state = small
+        elif kind == "respread":
+            tail_w = step[1]
+            if not respread_lanes:
+                return None  # config changed since the trace
+            guards.append(active_dev <= respread_lanes)
+            pixpack, n_valid_dev = _collect_tail_pixels(
+                state, p_count=pixels_per_lane, stride=r,
+                wh=cfg.width * cfg.height, max_lanes=respread_lanes,
+            )
+            tail_w = min(tail_w, pixpack.shape[0])
+            guards.append(n_valid_dev <= tail_w)
+            tail = (pixpack, n_valid_dev, tail_w)
+        else:  # "uncapped" — always valid
+            fo = jnp.asarray([frame_index, sample_offset, 0], jnp.int32)
+            state, active_dev = _mega_stage_more(
+                scene, camera, state, fo, uncapped=True, **quota, **statics
+            )
+    if not plan or plan[-1][0] not in ("respread", "uncapped"):
+        # The recorded run finished inside its capped stages (active hit
+        # 0); this frame must too, or lanes would be left untraced.
+        guards.append(active_dev == 0)
+    mean, segs = _assemble_staged(
+        scene, camera, cfg, state, folds, tail, frame_index, sample_offset,
+        statics, start,
+    )
+    # One readback validates the whole schedule; everything above is
+    # already in the device queue, so the wait overlaps real work.
+    if guards and not bool(np.all(np.asarray(jnp.stack(guards)))):
+        return None
+    return mean, segs
+
+
 def _mega_finish_staged(scene, camera, cfg: RenderConfig, state, active,
                         frame_index, sample_offset, r,
                         pixels_per_lane: int = 1, stage_stats=None,
@@ -475,9 +600,26 @@ def _mega_finish_staged(scene, camera, cfg: RenderConfig, state, active,
         # (the break below fires before this level would compact).
         widths = widths + [respread_lanes]
 
+    plan_key = (key, _MEGA_STAGE_ITERS, _TAIL_RESPREAD_MAX)
+    if stage_stats is None and cfg.mega_speculative:
+        plan = _SCHED_TRACES.get(plan_key)
+        if plan is not None:
+            out = _mega_replay_staged(
+                scene, camera, cfg, state, active, frame_index,
+                sample_offset, r, pixels_per_lane, start, plan,
+            )
+            if out is not None:
+                _SPEC_STATS["replayed"] += 1
+                return out
+            # Guard failed: the curve shifted — fall through to the
+            # blocking path from the untouched entry state (and
+            # re-record the trace below).
+            _SPEC_STATS["fallback"] += 1
+
     active = int(active)
     iters_now = 0  # stage grid index; iters itself is not fetched
     curve = [(iters_now, active)]
+    plan = []  # executed schedule, recorded for speculative replay
     folds = []  # (wider_state, idx) per compaction, innermost last
     for wq in widths:
         while active > wq:
@@ -492,6 +634,7 @@ def _mega_finish_staged(scene, camera, cfg: RenderConfig, state, active,
             active = int(active)  # blocks until the stage is done
             iters_now += cap
             curve.append((iters_now, active))
+            plan.append(("stage", cap))
             if stage_stats is not None:
                 stage_stats.append(dict(
                     width=state.done.shape[0], iters=cap, active=active,
@@ -502,6 +645,7 @@ def _mega_finish_staged(scene, camera, cfg: RenderConfig, state, active,
         small, idx = _mega_compact(state, quarter=wq)
         folds.append((state, idx))
         state = small
+        plan.append(("compact", wq))
         if stage_stats is not None and pixels_per_lane > 1:
             # Quota progress of the lanes that survived into the fold:
             # how many of their P pixel slots are not yet started — the
@@ -527,6 +671,7 @@ def _mega_finish_staged(scene, camera, cfg: RenderConfig, state, active,
             tail_w *= 2
         tail_w = min(tail_w, pixpack.shape[0])
         tail = (pixpack, n_valid_dev, tail_w)
+        plan.append(("respread", tail_w))
         if stage_stats is not None:
             stage_stats.append(dict(
                 respread=tail_w, incomplete=n_valid, active=active,
@@ -538,6 +683,7 @@ def _mega_finish_staged(scene, camera, cfg: RenderConfig, state, active,
         state, _ = _mega_stage_more(
             scene, camera, state, fo, uncapped=True, **quota, **statics
         )
+        plan.append(("uncapped",))
         if stage_stats is not None:
             state.done.block_until_ready()
             stage_stats.append(dict(
@@ -545,29 +691,11 @@ def _mega_finish_staged(scene, camera, cfg: RenderConfig, state, active,
                 active=0, wall_s=_time.perf_counter() - t0, uncapped=True,
             ))
     _RETIRE_CURVES[key] = curve
-    for big, idx in reversed(folds):
-        state = _mega_fold(big, state, idx)
-    mean, segs = _mega_finalize(state, jnp.int32(cfg.rays_per_pixel))
-    if tail is not None:
-        pixpack, n_valid_dev, tail_w = tail
-        fo = jnp.asarray([frame_index, sample_offset], jnp.int32)
-        t0 = _time.perf_counter()
-        # interleave=1: sub-batch overlap doesn't pay at tail widths
-        # and halves the Mosaic shape count this path compiles.
-        tmean, tsegs = _mega_tail_full(
-            scene, camera, pixpack, fo, tail_w=tail_w,
-            **{**statics, "interleave": 1},
-        )
-        mean = _tail_overwrite(mean, tmean, pixpack, n_valid_dev,
-                               jnp.int32(start))
-        segs = segs + tsegs
-        if stage_stats is not None:
-            mean.block_until_ready()
-            stage_stats.append(dict(
-                respread_done=tail_w,
-                wall_s=_time.perf_counter() - t0,
-            ))
-    return mean, segs
+    _SCHED_TRACES[plan_key] = plan
+    return _assemble_staged(
+        scene, camera, cfg, state, folds, tail, frame_index, sample_offset,
+        statics, start, stage_stats=stage_stats,
+    )
 
 
 def _render_tile_mega_staged(
