@@ -236,6 +236,21 @@ class RenderConfig:
     #: (src/image.hpp:289-333).
     mega_tail_respread: bool = True
 
+    #: Cascade respread: fire the quota respread while up to
+    #: renderer._CASCADE_MAX incomplete pixels remain (not just when
+    #: the tail fits one 65536-pixel P=1 batch) and re-trace them as a
+    #: fresh FULL-OCCUPANCY staged quota batch over the packed pixel
+    #: list (megakernel list-quota mode), recursing on that batch's own
+    #: stragglers. The first stage's cap drops to _CASCADE_STAGE0 so
+    #: the boundary lands mid-decay of the retirement curve. Work is
+    #: never ground at a few-percent occupancy; the price is re-tracing
+    #: the in-flight pixels' partial samples (percent-level). The same
+    #: pixel-purity argument as the plain respread: identical up to the
+    #: different-executable 1-ulp class. Measured on v5e (bunny 1080p
+    #: headline, same process): 34.63 -> 37.74 Mrays/s (+9%), output
+    #: bitwise-identical to the non-cascade path.
+    mega_cascade: bool = True
+
     #: Speculative replay of the staged schedule: after one blocking
     #: run of a (scene, shape) key, later frames dispatch the SAME
     #: stage/compact/respread sequence without blocking host reads and

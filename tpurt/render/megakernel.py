@@ -120,6 +120,10 @@ class _Lane(NamedTuple):
     pix: jnp.ndarray  # (R,) u32 pixel index (CURRENT pixel in quota mode)
     pixno: jnp.ndarray  # (R,) i32 — index of the current pixel in the
     #   lane's quota (0..pixels_per_lane-1); always 0 when quota == 1
+    lane0: jnp.ndarray  # (R,) i32 — the lane's ORIGINAL batch index
+    #   (list-quota mode only, else None): its quota pixels are
+    #   pixel_list[lane0 + k*stride], and a compacted resume rebuilds
+    #   the slot tables from it. Never read inside the loop body.
     # sample machinery
     sample: jnp.ndarray  # (R,) i32
     acc: V3  # current pixel's radiance accumulator
@@ -163,6 +167,19 @@ class _Lane(NamedTuple):
     c_back: jnp.ndarray
     c_mesh: jnp.ndarray
     c_dst: jnp.ndarray
+
+
+class _Slots(NamedTuple):
+    """Per-quota-slot loop-invariant tables for slots 1..P-1 (slot 0 is
+    the lane's entry ray/pixel). ``rd``: primary directions, always
+    present in quota mode. ``pix``: absolute pixel ids — only in LIST
+    mode, where a lane's quota walks an arbitrary packed pixel list
+    (pixel_list[lane0 + k*stride]) instead of the affine pix + k*stride
+    of a frame batch; the advance step then selects the next pixel from
+    these tables exactly like it selects the next direction."""
+
+    rd: Tuple[V3, ...]
+    pix: Tuple[jnp.ndarray, ...]
 
 
 class _ChainParams(NamedTuple):
@@ -495,11 +512,11 @@ def _body_math(
     srows,  # static triangle rows, scalar [s, j] reads
     mats,  # (K, 11) packed materials, scalar [i, c] reads
     params: _ChainParams,
-    slot_rays,  # per-slot primary DIRECTIONS for quota slots 1..P-1
-    #   (tuple of V3, len p_count-1; () if quota 1). Slot 0's direction
-    #   is the entry rd0 and is never re-selected; origins are not
-    #   slotted at all — the camera is a pinhole, every slot's origin
-    #   is the camera position already in s.ro0.
+    slot_rays,  # _Slots: per-slot primary DIRECTIONS (and, in list
+    #   mode, per-slot PIXEL ids) for quota slots 1..P-1 (empty tuples
+    #   at quota 1). Slot 0's direction is the entry rd0 and is never
+    #   re-selected; origins are not slotted at all — the camera is a
+    #   pinhole, every slot's origin is the camera position in s.ro0.
     frame_index,
     sample_offset,
     primary_ray_fn,  # (ro0, rd0, pix, sample_u) -> (V3, V3)
@@ -858,12 +875,24 @@ def _body_math(
                 jnp.where(pix_done, zero, acc.z),
             )
             pixno = t.pixno + advance.astype(jnp.int32)
-            # Signed arithmetic on purpose: Mosaic cannot lower u32 min
-            # (arith.minui); pixel indices are < 2^24 so i32 is exact.
-            adv_pix = jnp.minimum(
-                t.pix.astype(jnp.int32) + np.int32(pixel_stride),
-                np.int32(width * height - 1),  # pad lanes clamp like _flat_coords
-            ).astype(jnp.uint32)
+            if slot_rays.pix:
+                # List mode: the next pixel comes from the per-slot
+                # tables (pixel_list[lane0 + k*stride], precomputed
+                # loop-invariant like the slot directions). Static
+                # select chain over slots; advance implies pixno >= 1.
+                adv_pix = slot_rays.pix[0]
+                for k in range(2, p_count):
+                    adv_pix = jnp.where(
+                        pixno == k, slot_rays.pix[k - 1], adv_pix
+                    )
+            else:
+                # Signed arithmetic on purpose: Mosaic cannot lower u32
+                # min (arith.minui); pixel indices are < 2^24 so i32 is
+                # exact.
+                adv_pix = jnp.minimum(
+                    t.pix.astype(jnp.int32) + np.int32(pixel_stride),
+                    np.int32(width * height - 1),  # pad lanes clamp like _flat_coords
+                ).astype(jnp.uint32)
             pix = jnp.where(advance, adv_pix, t.pix)
             sample = jnp.where(pix_done, 0, sample)
         else:
@@ -883,9 +912,9 @@ def _body_math(
             # in-body is NOT bit-stable, XLA fuses the uv arithmetic
             # differently inside the loop). Static chain over slots;
             # advance implies pixno >= 1. Origins never change (pinhole).
-            rd_n = slot_rays[0]  # slot 1
+            rd_n = slot_rays.rd[0]  # slot 1
             for k in range(2, p_count):
-                rd_n = v3lib.where(pixno == k, slot_rays[k - 1], rd_n)
+                rd_n = v3lib.where(pixno == k, slot_rays.rd[k - 1], rd_n)
             ro0 = t.ro0
             rd0 = v3lib.where(advance, rd_n, t.rd0)
         else:
@@ -1023,7 +1052,7 @@ def _body_math(
 
         return _Lane(
             iters=t.iters,
-            ro0=ro0, rd0=rd0, pix=pix, pixno=pixno,
+            ro0=ro0, rd0=rd0, pix=pix, pixno=pixno, lane0=t.lane0,
             sample=sample, acc=acc, accs=accs, rng=rng, done=done,
             segments=segments,
             origin=origin, direction=direction, throughput=throughput,
@@ -1076,6 +1105,7 @@ def run_megakernel(
     tail_passes: int = 1,
     schedule: str = "inline",
     dense: bool = False,
+    pixel_list=None,
 ):
     """Returns (mean radiance (R*pixels_per_lane, 3), total path
     segments (scalar f32), iterations) — or the raw lane state when
@@ -1109,6 +1139,19 @@ def run_megakernel(
     (measured ~4x per-row on the v5e, scripts/probe_r3b.py). Bitwise-
     identical to interleave=1; falls back to 1 when the batch does not
     split into 128-lane-aligned parts.
+
+    ``pixel_list`` ((N,) u32 device array) switches quota mode to LIST
+    form: lane i's quota pixels are pixel_list[i + k*stride] (clamped
+    to the last entry) instead of the affine pix + k*stride — the
+    cascade-respread driver re-traces an arbitrary packed set of
+    incomplete pixels with full quota/staging machinery this way.
+    ``pixel_index`` must then be each lane's slot-0 pixel
+    (pixel_list[:R] for a fresh batch); the lane's original index rides
+    in the state (lane0) so compacted resumes rebuild slot tables, and
+    radiance row k*R+i corresponds to pixel_list[i + k*stride] — the
+    same positional layout as the affine flat path. Requires
+    pixels_per_lane > 1 handling only when quota > 1; with quota 1 the
+    list is ignored (callers trace pixel_index directly).
     """
     if not isinstance(ro0, V3):
         ro0 = v3lib.from_rows(ro0)
@@ -1189,9 +1232,11 @@ def run_megakernel(
 
     if debug_counters:
         assert max_iterations is None and body_backend != "pallas"
+    list_mode = pixel_list is not None and p_count > 1
     lane = _Lane(
         iters=jnp.zeros((6,), jnp.int32) if debug_counters else jnp.int32(0),
         ro0=ro0, rd0=rd0, pix=pixel_index, pixno=zeros_i,
+        lane0=jnp.arange(r, dtype=jnp.int32) if list_mode else None,
         sample=zeros_i, acc=zero3,
         accs=tuple(zero3 for _ in range(p_count)) if p_count > 1 else (),
         rng=seed_for(pixel_index, jnp.uint32(0)), done=falses,
@@ -1225,23 +1270,42 @@ def run_megakernel(
         # pixel_uv+make_ray entry chain as plain batches (bit-stable;
         # an in-body recomputation is not — XLA fuses the uv arithmetic
         # differently inside the while_loop). Loop-invariant captures,
-        # selected by pixno at advance time.
+        # selected by pixno at advance time. In list mode the per-slot
+        # PIXELS are precomputed the same way (pixel_list[lane0 +
+        # k*stride], pad lanes clamp to the last entry).
         from tpurt.core.camera import make_ray as _mk, pixel_uv as _puv
 
         stride = r if pixel_stride is None else int(pixel_stride)
         slot_list = []  # directions for slots 1..P-1 (slot 0 = entry rd0)
+        slot_pix = []  # pixel ids for slots 1..P-1 (list mode only)
+        if list_mode:
+            l0 = lane.lane0  # initial_state already replaced lane
+            n_list = pixel_list.shape[0]
         pi0 = pixel_index.astype(jnp.int32)
         for k in range(1, p_count):
-            pk = jnp.minimum(
-                pi0 + np.int32(k * stride), np.int32(width * height - 1)
-            )
+            if list_mode:
+                pk = pixel_list[jnp.minimum(
+                    l0 + np.int32(k * stride), np.int32(n_list - 1)
+                )].astype(jnp.int32)
+                slot_pix.append(pk.astype(jnp.uint32))
+            else:
+                pk = jnp.minimum(
+                    pi0 + np.int32(k * stride), np.int32(width * height - 1)
+                )
             xs_k = pk % jnp.int32(width)
             ys_k = pk // jnp.int32(width)
             _ro_k, rd_k = _mk(camera, _puv(xs_k, ys_k, width, height))
             slot_list.append(v3lib.from_rows(rd_k))
-        slot_rays = tuple(slot_list)
+        slot_rays = _Slots(tuple(slot_list), tuple(slot_pix))
     else:
-        slot_rays = ()
+        slot_rays = _Slots((), ())
+    # lane0 is loop-invariant and never read in the body — keep it out
+    # of the while_loop carry (it would stream through HBM every
+    # iteration) and reattach on exit for the staged driver's
+    # compaction slicing.
+    lane0_keep = lane.lane0
+    if lane0_keep is not None:
+        lane = lane._replace(lane0=None)
     body_kw = dict(
         e_count=e_count, s_depth=s_depth, num_meshes=num_meshes,
         s_cull=s_cull, s_onesided=s_onesided, s_owner=s_owner,
@@ -1518,6 +1582,8 @@ def run_megakernel(
             ),
             *finals,
         )
+    if lane0_keep is not None:
+        final = final._replace(lane0=lane0_keep)
     if return_state:
         return final
     if p_count > 1:

@@ -227,24 +227,30 @@ def _mega_stage_start(scene, camera, coords, *, tile_h, tile_w, **statics):
     "pixels_per_lane", "pixel_stride", "interleave", "tail_passes", "schedule", "dense",
 ), keep_unused=True)
 def _mega_stage_more(scene, camera, state, frame_and_offset, *, uncapped=False,
-                     pixels_per_lane=1, pixel_stride=None, **statics):
+                     pixels_per_lane=1, pixel_stride=None, pixel_list=None,
+                     **statics):
     from tpurt.render.megakernel import run_megakernel
 
     pix0 = state.pix
     if pixels_per_lane > 1:
         # Slot-0 pixel of each (possibly compacted/permuted) lane, so
         # the slot ray table rebuilds for the right quota pixels.
-        pix0 = (
-            state.pix.astype(jnp.int32)
-            - state.pixno * jnp.int32(pixel_stride)
-        ).astype(jnp.uint32)
+        if pixel_list is not None:
+            pix0 = pixel_list[jnp.clip(
+                state.lane0, 0, pixel_list.shape[0] - 1
+            )]
+        else:
+            pix0 = (
+                state.pix.astype(jnp.int32)
+                - state.pixno * jnp.int32(pixel_stride)
+            ).astype(jnp.uint32)
     out = run_megakernel(
         scene, state.ro0, state.rd0, pix0, frame_and_offset[0],
         sample_offset=frame_and_offset[1],
         camera=camera, initial_state=state,
         max_iterations=None if uncapped else frame_and_offset[2],
         return_state=True, pixels_per_lane=pixels_per_lane,
-        pixel_stride=pixel_stride, **statics,
+        pixel_stride=pixel_stride, pixel_list=pixel_list, **statics,
     )
     return out, jnp.sum(~out.done)
 
@@ -297,30 +303,44 @@ _TAIL_RESPREAD_MAX = 65536
 @functools.partial(jax.jit, static_argnames=(
     "p_count", "stride", "wh", "max_lanes",
 ))
-def _collect_tail_pixels(state, *, p_count, stride, wh, max_lanes):
+def _collect_tail_pixels(state, start, *, p_count, stride, wh, max_lanes,
+                         pixel_list=None):
     """Every incomplete pixel of a quota batch, packed valid-first.
 
     A lane owns quota pixels ``pix + (j - pixno)*stride`` for slots
-    ``j = 0..p_count-1`` (megakernel quota advance); slots ``>= pixno``
-    of an alive lane are incomplete — the current in-flight pixel plus
-    any unstarted ones. Caller guarantees ``active <= max_lanes`` so
-    the lane sort cannot drop an alive lane. Returns
-    ((max_lanes*p_count,) uint32 pixel ids — pad entries hold wh-1 —
-    and the valid count)."""
+    ``j = 0..p_count-1`` (megakernel quota advance) — or, in LIST mode,
+    ``pixel_list[lane0 + j*stride]``; slots ``>= pixno`` of an alive
+    lane are incomplete — the current in-flight pixel plus any
+    unstarted ones. Caller guarantees ``active <= max_lanes`` so the
+    lane sort cannot drop an alive lane. Returns (pixel ids u32 — pad
+    entries hold wh-1 —, POSITIONS i32 of each entry in the batch's
+    radiance rows — pad entries hold -1 —, and the valid count)."""
     order = jnp.argsort(state.done, stable=True)[:max_lanes]
     alive = ~state.done[order]
     pixno = state.pixno[order][:, None]
-    base = state.pix.astype(jnp.int32)[order][:, None]
     js = jnp.arange(p_count, dtype=jnp.int32)[None, :]
-    # Same frame-end clamp as the in-kernel quota advance (adv_pix).
-    cand = jnp.minimum(base + (js - pixno) * np.int32(stride),
-                       np.int32(wh - 1))
+    if pixel_list is not None:
+        l0 = state.lane0[order][:, None]
+        posc = l0 + js * np.int32(stride)
+        n_list = pixel_list.shape[0]
+        cand = pixel_list[
+            jnp.minimum(posc, np.int32(n_list - 1))
+        ].astype(jnp.int32)
+    else:
+        base = state.pix.astype(jnp.int32)[order][:, None]
+        # Same frame-end clamp as the in-kernel quota advance (adv_pix).
+        cand = jnp.minimum(base + (js - pixno) * np.int32(stride),
+                           np.int32(wh - 1))
+        posc = cand - start
     valid = alive[:, None] & (js >= pixno)
     flat_c = cand.reshape(-1)
+    flat_p = posc.reshape(-1)
     flat_v = valid.reshape(-1)
     pack = jnp.argsort(~flat_v, stable=True)
     pix = jnp.where(flat_v[pack], flat_c[pack], np.int32(wh - 1))
-    return pix.astype(jnp.uint32), jnp.sum(flat_v.astype(jnp.int32))
+    pos = jnp.where(flat_v[pack], flat_p[pack], np.int32(-1))
+    return (pix.astype(jnp.uint32), pos.astype(jnp.int32),
+            jnp.sum(flat_v.astype(jnp.int32)))
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -351,19 +371,101 @@ def _mega_tail_full(scene, camera, pixpack, coords, *, tail_w, **statics):
 
 
 @jax.jit
-def _tail_overwrite(mean, tail_mean, pixpack, n_valid, start):
+def _tail_overwrite(mean, tail_mean, pospack, n_valid):
     """Scatter the respread tail's radiance over the batch mean at the
-    tail pixels' slots (slot of pixel p is p - start; quota-mode mean
-    is positionally pixels [start, start + r*P)). Pad entries and
-    out-of-batch clamps drop; duplicate frame-end clamp pixels write
-    identical values (pixel-pure traces)."""
+    collected slots' POSITIONS (_collect_tail_pixels pospack). Pad
+    entries (-1) and out-of-batch clamps drop; duplicate frame-end
+    clamp pixels write identical values (pixel-pure traces)."""
     limit = mean.shape[0]
     tw = tail_mean.shape[0]
-    idx = pixpack[:tw].astype(jnp.int32) - start
+    idx = pospack[:tw]
     j = jnp.arange(tw)
     ok = (j < n_valid) & (idx >= 0) & (idx < limit)
     idx = jnp.where(ok, idx, limit)
     return mean.at[idx].set(tail_mean, mode="drop")
+
+
+#: Cascade respread (quota batches): fire the respread while up to this
+#: many incomplete PIXELS remain (collect capacity = this / P lanes) and
+#: re-trace them as a fresh full-occupancy QUOTA batch over the packed
+#: pixel list — recursively, each level's stragglers respreading again —
+#: instead of waiting for the deep tail to fit one P=1 batch. Cuts the
+#: top batch's decaying-occupancy phase short: the 384-iteration stage0
+#: of the bunny headline runs its last ~100 iterations below 25%
+#: occupancy (probe_r21/r22 retirement curve).
+_CASCADE_MAX = 524288
+#: First-stage cap when the cascade is enabled: the stage0 boundary
+#: must land while the retirement curve is still mid-decay (active ~
+#: 58k of 262k at 288 on the bunny ladder) for the cascade to have
+#: anything to redistribute; 384 would land at ~2.5% occupancy.
+_CASCADE_STAGE0 = 288
+#: Lane width of a cascade level (the gather engine's efficient floor).
+_CASCADE_W = 65536
+#: Recursion bound: below this many incomplete pixels — or past depth
+#: 2 — the tail runs as the plain P=1 respread batch.
+_CASCADE_MIN = 49152
+#: Follow-up stage cap while waiting for the cascade to activate: if
+#: stage0's boundary lands BEFORE the retirement curve crosses the
+#: activation bound (a slower-decaying scene), full 384-iteration
+#: stages overshoot the crossing catastrophically (measured: stage0=256
+#: on the bunny ladder collapses 36.3 -> 24.9 Mrays/s because the next
+#: check is 384 iterations away). Short probe stages find the crossing
+#: within ~this many iterations instead; scenes that activate at the
+#: first boundary never run one.
+_CASCADE_PROBE = 96
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "w", "p", "width", "height", "rays_per_pixel", "max_bounces",
+    "seed_mode", "invisible_budget", "subpixel_jitter", "body_backend",
+    "interleave", "tail_passes", "schedule", "dense",
+), keep_unused=True)
+def _mega_pix_start(scene, camera, pixpack, coords, *, w, p, **statics):
+    """Start a staged LIST-quota batch over ``pixpack`` (w lanes x p
+    slots; lane i owns pixpack[i + k*w]): the cascade level's analog of
+    _mega_flat_start."""
+    from tpurt.render.megakernel import run_megakernel
+
+    width, height = statics["width"], statics["height"]
+    pix = pixpack[:w]
+    xs = (pix % jnp.uint32(width)).astype(jnp.int32)
+    ys = (pix // jnp.uint32(width)).astype(jnp.int32)
+    uv = pixel_uv(xs, ys, width, height)
+    ro0, rd0 = make_ray(camera, uv)
+    state = run_megakernel(
+        scene, ro0, rd0, pix, coords[0], sample_offset=coords[1],
+        camera=camera, max_iterations=coords[2], return_state=True,
+        pixels_per_lane=p, pixel_stride=w, pixel_list=pixpack, **statics,
+    )
+    return state, jnp.sum(~state.done)
+
+
+def _render_pixlist_staged(scene, camera, cfg, pixpack, w, p, frame_index,
+                           sample_offset, depth, stage_stats=None):
+    """One cascade level: trace pixpack[:w*p] as a staged quota batch
+    (its own compaction ladder + respread recursion). Returns
+    (mean (w*p, 3) radiance rows positionally matching pixpack, segs)."""
+    statics = _mega_statics(cfg, cfg.width, cfg.height)
+    need = w * p
+    npix = pixpack.shape[0]
+    if npix < need:
+        pixpack = jnp.concatenate([
+            pixpack,
+            jnp.full((need - npix,), np.uint32(cfg.width * cfg.height - 1),
+                     jnp.uint32),
+        ])
+    elif npix > need:
+        pixpack = pixpack[:need]  # drops only pad entries (need >= n_valid)
+    cap0 = _MEGA_STAGE_ITERS
+    coords = jnp.asarray([frame_index, sample_offset, cap0], jnp.int32)
+    state, active = _mega_pix_start(
+        scene, camera, pixpack, coords, w=w, p=p, **statics
+    )
+    return _mega_finish_staged(
+        scene, camera, cfg, state, active, frame_index, sample_offset, w,
+        pixels_per_lane=p, stage_stats=stage_stats, pixel_list=pixpack,
+        depth=depth,
+    )
 
 
 #: Last observed retirement curve per (scene, shape) — a list of
@@ -449,40 +551,75 @@ def _stage_cap(prev_curve, iters_now: int, target_active: int) -> int:
 
 
 def _assemble_staged(scene, camera, cfg: RenderConfig, state, folds, tail,
-                     frame_index, sample_offset, statics, start,
+                     frame_index, sample_offset, statics,
                      stage_stats=None):
     """Shared epilogue of the staged drivers: unfold compactions, build
-    the mean, trace + scatter the respread tail (if any)."""
+    the mean, trace + scatter the respread tail (if any). ``tail`` is
+    ("plain", pixpack, pospack, n_valid, tail_w) — one P=1 dense batch —
+    or ("cascade", pixpack, pospack, n_valid, w, p, depth) — a
+    recursive staged quota level over the packed pixel list."""
     import time as _time
 
     for big, idx in reversed(folds):
         state = _mega_fold(big, state, idx)
     mean, segs = _mega_finalize(state, jnp.int32(cfg.rays_per_pixel))
     if tail is not None:
-        pixpack, n_valid_dev, tail_w = tail
-        fo = jnp.asarray([frame_index, sample_offset], jnp.int32)
         t0 = _time.perf_counter()
-        # interleave=1: sub-batch overlap doesn't pay at tail widths
-        # and halves the Mosaic shape count this path compiles.
-        tmean, tsegs = _mega_tail_full(
-            scene, camera, pixpack, fo, tail_w=tail_w,
-            **{**statics, "interleave": 1},
-        )
-        mean = _tail_overwrite(mean, tmean, pixpack, n_valid_dev,
-                               jnp.int32(start))
+        if tail[0] == "cascade":
+            _, pixpack, pospack, n_valid_dev, w, p, depth = tail
+            tmean, tsegs = _render_pixlist_staged(
+                scene, camera, cfg, pixpack, w, p, frame_index,
+                sample_offset, depth + 1, stage_stats=stage_stats,
+            )
+            label = dict(cascade_done=w * p)
+        else:
+            _, pixpack, pospack, n_valid_dev, tail_w = tail
+            fo = jnp.asarray([frame_index, sample_offset], jnp.int32)
+            # interleave=1: sub-batch overlap doesn't pay at tail widths
+            # and halves the Mosaic shape count this path compiles.
+            tmean, tsegs = _mega_tail_full(
+                scene, camera, pixpack, fo, tail_w=tail_w,
+                **{**statics, "interleave": 1},
+            )
+            label = dict(respread_done=tail_w)
+        mean = _tail_overwrite(mean, tmean, pospack, n_valid_dev)
         segs = segs + tsegs
         if stage_stats is not None:
             mean.block_until_ready()
-            stage_stats.append(dict(
-                respread_done=tail_w,
-                wall_s=_time.perf_counter() - t0,
-            ))
+            stage_stats.append(dict(wall_s=_time.perf_counter() - t0,
+                                    **label))
     return mean, segs
+
+
+def _respread_lanes_for(cfg: RenderConfig, p: int, r: int) -> int:
+    """Alive-lane bound under which the respread/cascade activates (and
+    the collect capacity). Without the cascade: survivors' remaining
+    pixels must fit one _TAIL_RESPREAD_MAX batch. With it: fire while
+    up to _CASCADE_MAX pixels remain, but never before the batch has
+    drained to a quarter of its lanes (a cascade level would otherwise
+    respread at its very first boundary and recurse on itself)."""
+    if p <= 1 or not cfg.mega_tail_respread:
+        return 0
+    cap = _CASCADE_MAX if cfg.mega_cascade else _TAIL_RESPREAD_MAX
+    return min(cap // p, max(r // 4, 1024))
+
+
+def _first_cap(cfg: RenderConfig, p: int) -> int:
+    """Iteration cap of a batch's FIRST stage. With the cascade the
+    boundary must land mid-decay of the retirement curve (something to
+    redistribute); without it, as late as possible (full-batch gather
+    efficiency, probe_r18)."""
+    if cfg.mega_cascade and p > 1 and cfg.mega_tail_respread:
+        # min() keeps shrunken-test schedules (and any user override of
+        # the global grid) meaningful: the cascade cap only ever lands
+        # the boundary EARLIER.
+        return min(_CASCADE_STAGE0, _MEGA_STAGE_ITERS)
+    return _MEGA_STAGE_ITERS
 
 
 def _mega_replay_staged(scene, camera, cfg: RenderConfig, state, active_dev,
                         frame_index, sample_offset, r, pixels_per_lane,
-                        start, plan):
+                        start, plan, pixel_list=None, depth=0):
     """Speculative replay of a cached staged schedule (_SCHED_TRACES):
     dispatches every step asynchronously, then validates the gathered
     guard scalars with ONE readback that overlaps the queued device
@@ -500,15 +637,24 @@ def _mega_replay_staged(scene, camera, cfg: RenderConfig, state, active_dev,
     while_loop cond exits immediately), so stage steps need no guard.
     """
     statics = _mega_statics(cfg, cfg.width, cfg.height)
-    quota = dict(pixels_per_lane=pixels_per_lane, pixel_stride=r) \
-        if pixels_per_lane > 1 else {}
-    respread_lanes = (
-        _TAIL_RESPREAD_MAX // pixels_per_lane
-        if pixels_per_lane > 1 and cfg.mega_tail_respread else 0
-    )
+    quota = {}
+    if pixels_per_lane > 1:
+        quota = dict(pixels_per_lane=pixels_per_lane, pixel_stride=r)
+        if pixel_list is not None:
+            quota["pixel_list"] = pixel_list
+    respread_lanes = _respread_lanes_for(cfg, pixels_per_lane, r)
+    start_dev = jnp.int32(start)
     guards = []
     folds = []
     tail = None
+
+    def collect():
+        return _collect_tail_pixels(
+            state, start_dev, p_count=pixels_per_lane, stride=r,
+            wh=cfg.width * cfg.height, max_lanes=respread_lanes,
+            pixel_list=pixel_list,
+        )
+
     for step in plan:
         kind = step[0]
         if kind == "stage":
@@ -527,25 +673,30 @@ def _mega_replay_staged(scene, camera, cfg: RenderConfig, state, active_dev,
             if not respread_lanes:
                 return None  # config changed since the trace
             guards.append(active_dev <= respread_lanes)
-            pixpack, n_valid_dev = _collect_tail_pixels(
-                state, p_count=pixels_per_lane, stride=r,
-                wh=cfg.width * cfg.height, max_lanes=respread_lanes,
-            )
+            pixpack, pospack, n_valid_dev = collect()
             tail_w = min(tail_w, pixpack.shape[0])
             guards.append(n_valid_dev <= tail_w)
-            tail = (pixpack, n_valid_dev, tail_w)
+            tail = ("plain", pixpack, pospack, n_valid_dev, tail_w)
+        elif kind == "cascade":
+            w2, p2 = step[1], step[2]
+            if not respread_lanes:
+                return None
+            guards.append(active_dev <= respread_lanes)
+            pixpack, pospack, n_valid_dev = collect()
+            guards.append(n_valid_dev <= w2 * p2)
+            tail = ("cascade", pixpack, pospack, n_valid_dev, w2, p2, depth)
         else:  # "uncapped" — always valid
             fo = jnp.asarray([frame_index, sample_offset, 0], jnp.int32)
             state, active_dev = _mega_stage_more(
                 scene, camera, state, fo, uncapped=True, **quota, **statics
             )
-    if not plan or plan[-1][0] not in ("respread", "uncapped"):
+    if not plan or plan[-1][0] not in ("respread", "cascade", "uncapped"):
         # The recorded run finished inside its capped stages (active hit
         # 0); this frame must too, or lanes would be left untraced.
         guards.append(active_dev == 0)
     mean, segs = _assemble_staged(
         scene, camera, cfg, state, folds, tail, frame_index, sample_offset,
-        statics, start,
+        statics,
     )
     # One readback validates the whole schedule; everything above is
     # already in the device queue, so the wait overlaps real work.
@@ -557,7 +708,7 @@ def _mega_replay_staged(scene, camera, cfg: RenderConfig, state, active_dev,
 def _mega_finish_staged(scene, camera, cfg: RenderConfig, state, active,
                         frame_index, sample_offset, r,
                         pixels_per_lane: int = 1, stage_stats=None,
-                        start: int = 0):
+                        start: int = 0, pixel_list=None, depth: int = 0):
     """Shared tail of the host-staged compaction driver: run capped
     stages at full width while most lanes retire, then shrink to the
     surviving quarter and let the deep tail finish without taxing every
@@ -584,29 +735,31 @@ def _mega_finish_staged(scene, camera, cfg: RenderConfig, state, active,
     import time as _time
 
     statics = _mega_statics(cfg, cfg.width, cfg.height)
-    quota = dict(pixels_per_lane=pixels_per_lane, pixel_stride=r) \
-        if pixels_per_lane > 1 else {}
+    quota = {}
+    if pixels_per_lane > 1:
+        quota = dict(pixels_per_lane=pixels_per_lane, pixel_stride=r)
+        if pixel_list is not None:
+            quota["pixel_list"] = pixel_list
     widths = _stage_widths(r)
     key = _curve_key(scene, cfg, r, pixels_per_lane)
     prev = _RETIRE_CURVES.get(key)
 
-    respread_lanes = (
-        _TAIL_RESPREAD_MAX // pixels_per_lane
-        if pixels_per_lane > 1 and cfg.mega_tail_respread else 0
-    )
+    respread_lanes = _respread_lanes_for(cfg, pixels_per_lane, r)
     if respread_lanes and respread_lanes < widths[-1]:
         # Virtual final ladder level: keep running capped stages at the
         # last compacted width until the survivors fit a respread batch
         # (the break below fires before this level would compact).
         widths = widths + [respread_lanes]
 
-    plan_key = (key, _MEGA_STAGE_ITERS, _TAIL_RESPREAD_MAX)
+    plan_key = (key, _MEGA_STAGE_ITERS, _TAIL_RESPREAD_MAX,
+                cfg.mega_cascade, depth)
     if stage_stats is None and cfg.mega_speculative:
         plan = _SCHED_TRACES.get(plan_key)
         if plan is not None:
             out = _mega_replay_staged(
                 scene, camera, cfg, state, active, frame_index,
                 sample_offset, r, pixels_per_lane, start, plan,
+                pixel_list=pixel_list, depth=depth,
             )
             if out is not None:
                 _SPEC_STATS["replayed"] += 1
@@ -625,7 +778,12 @@ def _mega_finish_staged(scene, camera, cfg: RenderConfig, state, active,
         while active > wq:
             if respread_lanes and active <= respread_lanes:
                 break
-            cap = _stage_cap(prev, iters_now, wq)
+            cap = (
+                min(_CASCADE_PROBE, _MEGA_STAGE_ITERS)
+                if cfg.mega_cascade and respread_lanes
+                and pixels_per_lane > 1 and depth == 0
+                else _stage_cap(prev, iters_now, wq)
+            )
             fo = jnp.asarray([frame_index, sample_offset, cap], jnp.int32)
             t0 = _time.perf_counter()
             state, active = _mega_stage_more(
@@ -658,25 +816,47 @@ def _mega_finish_staged(scene, camera, cfg: RenderConfig, state, active,
                     pixno, minlength=pixels_per_lane
                 ).tolist(),
             ))
-    tail = None  # (pixpack, n_valid_dev, tail_w)
+    tail = None  # see _assemble_staged for the two forms
     if active > 0 and respread_lanes and active <= respread_lanes:
         t0 = _time.perf_counter()
-        pixpack, n_valid_dev = _collect_tail_pixels(
-            state, p_count=pixels_per_lane, stride=r,
+        pixpack, pospack, n_valid_dev = _collect_tail_pixels(
+            state, jnp.int32(start), p_count=pixels_per_lane, stride=r,
             wh=cfg.width * cfg.height, max_lanes=respread_lanes,
+            pixel_list=pixel_list,
         )
         n_valid = int(n_valid_dev)
-        tail_w = 2048
-        while tail_w < n_valid:
-            tail_w *= 2
-        tail_w = min(tail_w, pixpack.shape[0])
-        tail = (pixpack, n_valid_dev, tail_w)
-        plan.append(("respread", tail_w))
-        if stage_stats is not None:
-            stage_stats.append(dict(
-                respread=tail_w, incomplete=n_valid, active=active,
-                wall_s=_time.perf_counter() - t0,
-            ))
+        if cfg.mega_cascade and depth < 2 and n_valid > _CASCADE_MIN:
+            # Too much work for one dense P=1 batch: re-trace as a
+            # full-occupancy staged QUOTA level over the packed list.
+            w2 = _CASCADE_W
+            p2 = -(-n_valid // w2)
+            if p2 > 8:
+                # Deeper quotas than 8 measured worse (probe_r19) —
+                # widen the level instead so w2*p2 always covers
+                # n_valid (dropping a collected pixel would leave its
+                # slot holding the parent's partial value).
+                p2 = 8
+                w2 = -(-(-(-n_valid // 8)) // 128) * 128
+            tail = ("cascade", pixpack, pospack, n_valid_dev, w2, p2,
+                    depth)
+            plan.append(("cascade", w2, p2))
+            if stage_stats is not None:
+                stage_stats.append(dict(
+                    cascade=w2 * p2, incomplete=n_valid, active=active,
+                    wall_s=_time.perf_counter() - t0,
+                ))
+        else:
+            tail_w = 2048
+            while tail_w < n_valid:
+                tail_w *= 2
+            tail_w = min(tail_w, pixpack.shape[0])
+            tail = ("plain", pixpack, pospack, n_valid_dev, tail_w)
+            plan.append(("respread", tail_w))
+            if stage_stats is not None:
+                stage_stats.append(dict(
+                    respread=tail_w, incomplete=n_valid, active=active,
+                    wall_s=_time.perf_counter() - t0,
+                ))
     elif active > 0:
         fo = jnp.asarray([frame_index, sample_offset, 0], jnp.int32)
         t0 = _time.perf_counter()
@@ -694,7 +874,7 @@ def _mega_finish_staged(scene, camera, cfg: RenderConfig, state, active,
     _SCHED_TRACES[plan_key] = plan
     return _assemble_staged(
         scene, camera, cfg, state, folds, tail, frame_index, sample_offset,
-        statics, start, stage_stats=stage_stats,
+        statics, stage_stats=stage_stats,
     )
 
 
@@ -819,10 +999,7 @@ def render_batch_flat(
         and b >= cfg.compaction_threshold
         and cfg.max_bounces > 0
     ):
-        cap0 = _stage_cap(
-            _RETIRE_CURVES.get(_curve_key(scene, cfg, b, p)), 0,
-            _stage_widths(b)[0],
-        )
+        cap0 = _first_cap(cfg, p)
         coords = jnp.asarray(
             [start, frame_index, sample_offset, cap0], jnp.int32
         )
