@@ -334,11 +334,13 @@ def main():
     # straggler set amortises over the whole launch (measured 2.2x on
     # the bunny ladder); staged compaction then shrinks that one
     # straggler set (67% of lane-iterations were idle tail at P=8).
-    # mega_interleave=2: two sub-batches per while iteration so each
-    # row-gather DMA overlaps the other half's Pallas body (+22%
-    # measured round 3, scripts/probe_r3e.py).
+    # mega_interleave=4: four sub-batches per while iteration so each
+    # row-gather DMA overlaps another sub-batch's Pallas body (+22%
+    # at 2, scripts/probe_r3e.py; +5% more at 4 with the 65536
+    # sub-batch floor, scripts/probe_r27.py). Stages below 4x the
+    # floor degrade to the largest admissible split automatically.
     common = dict(tile_size=args.tile_size, seed_mode="reference",
-                  pixels_per_lane=8, mega_interleave=2)
+                  pixels_per_lane=8, mega_interleave=4)
 
     results = []
     if args.ladder:

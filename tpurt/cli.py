@@ -197,7 +197,7 @@ def main(argv=None) -> int:
         mega_interleave=(
             args.interleave
             if args.interleave is not None
-            else (2 if _on_tpu_backend() else 1)
+            else (4 if _on_tpu_backend() else 1)
         ),
         mega_dense=args.mega_dense,
     )

@@ -62,8 +62,13 @@ MEGA_UNROLL = 2
 #: (sub 131k) 23.7 -> 24.9 Mrays/s with interleave=2, but the staged
 #: schedule's 65k-lane tail stage (sub 32k) dragged the headline
 #: 30.9 -> 27.4. Batches whose sub-batches would fall below this floor
-#: run interleave=1 (bitwise-identical either way).
-MEGA_INTERLEAVE_FLOOR = 131072
+#: DROP to the largest interleave that stays at/above it
+#: (bitwise-identical either way). 65536 admits interleave=4 on the
+#: 262k headline batches — measured +5% over interleave=2
+#: (41.5 vs 39.5 Mrays/s staged, scripts/probe_r27.py) — while the
+#: 65k tail/cascade stages still run interleave=1 exactly as under
+#: the old 131072 floor with interleave=2.
+MEGA_INTERLEAVE_FLOOR = 65536
 
 
 @dataclasses.dataclass(frozen=True)
@@ -222,7 +227,14 @@ class RenderConfig:
     #:             batch's gathered rows, issued one body-step ahead of
     #:             consumption, so every row DMA has a full Pallas body
     #:             to hide behind.
-    #: All three are bitwise-identical (same per-lane op sequence).
+    #: "pair2"   — sub-batches advance in PAIRS: both gathers of a
+    #:             pair emitted adjacently, then both bodies, so two
+    #:             row DMAs are in flight at once (the bare-chain
+    #:             gather engine runs ~+20% with two independent
+    #:             gathers per step, scripts/probe_r3b.py) while the
+    #:             pair's bodies still overlap the NEXT pair's DMAs.
+    #:             Needs interleave >= 4 to differ from "inline".
+    #: All schedules are bitwise-identical (same per-lane op sequence).
     mega_schedule: str = "inline"
 
     #: Respread the staged quota tail: when the surviving lanes'
@@ -309,9 +321,10 @@ class RenderConfig:
             raise ValueError("mega_interleave must be >= 1")
         if self.mega_tail_passes < 1:
             raise ValueError("mega_tail_passes must be >= 1")
-        if self.mega_schedule not in ("inline", "gfirst", "carry"):
+        if self.mega_schedule not in ("inline", "gfirst", "carry", "pair2"):
             raise ValueError(
-                "mega_schedule must be 'inline', 'gfirst' or 'carry'"
+                "mega_schedule must be 'inline', 'gfirst', 'carry' or"
+                " 'pair2'"
             )
         if self.sample_flatten and self.seed_mode != "decorrelated":
             raise ValueError(

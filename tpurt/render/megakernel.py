@@ -1400,15 +1400,20 @@ def run_megakernel(
     # (scripts/probe_r3b.py). Per-lane trajectories are untouched, so
     # results are bitwise-identical to interleave=1; the loop still
     # runs until ALL sub-batches drain (same idle accounting).
+    # Below the floor the gather engine's batch-size falloff costs
+    # more than the DMA/body overlap wins (see MEGA_INTERLEAVE_FLOOR
+    # in config.py) — notably the staged schedule's narrow tail
+    # stages, which inherit the frame config's interleave. Fall to the
+    # LARGEST admissible split rather than straight to 1 so a frame
+    # config tuned for full batches (e.g. interleave=4 at 262k lanes)
+    # still overlaps its half-width stages.
     k_il = max(1, int(interleave))
-    if r % k_il != 0 or (r // k_il) % 128 != 0:
-        k_il = 1  # pallas blocks need 128-lane alignment per sub-batch
-    elif k_il > 1 and r // k_il < _config_mod().MEGA_INTERLEAVE_FLOOR:
-        # Below the floor the gather engine's batch-size falloff costs
-        # more than the DMA/body overlap wins (see MEGA_INTERLEAVE_FLOOR
-        # in config.py) — notably the staged schedule's narrow tail
-        # stages, which inherit the frame config's interleave.
-        k_il = 1
+    while k_il > 1 and (
+        r % k_il != 0
+        or (r // k_il) % 128 != 0  # pallas needs 128-aligned sub-batches
+        or r // k_il < _config_mod().MEGA_INTERLEAVE_FLOOR
+    ):
+        k_il -= 1
     if debug_counters:
         assert k_il == 1, "debug_counters requires interleave=1"
     m_il = r // k_il
@@ -1558,6 +1563,17 @@ def run_megakernel(
                         rowts = [_gather(ss[j]) for j in range(k_il)]
                         for j in range(k_il):
                             ss[j] = bodies[j](ss[j], rowts[j])
+                    elif schedule == "pair2":
+                        # Pairs of sub-batches: both gathers, then both
+                        # bodies. Two row DMAs in flight at once (the
+                        # gather engine's measured +20% two-stream
+                        # mode, scripts/probe_r3b.py) while the pair's
+                        # bodies cover the NEXT pair's DMAs.
+                        for g in range(0, k_il, 2):
+                            pair = range(g, min(g + 2, k_il))
+                            rowts = [_gather(ss[j]) for j in pair]
+                            for t, j in enumerate(pair):
+                                ss[j] = bodies[j](ss[j], rowts[t])
                     else:
                         # "inline": each sub-batch's gather is emitted
                         # immediately before its own body; sub-batch

@@ -608,12 +608,31 @@ def _first_cap(cfg: RenderConfig, p: int) -> int:
     """Iteration cap of a batch's FIRST stage. With the cascade the
     boundary must land mid-decay of the retirement curve (something to
     redistribute); without it, as late as possible (full-batch gather
-    efficiency, probe_r18)."""
+    efficiency, probe_r18).
+
+    The mid-decay crossing scales with per-lane work (p x spp): the
+    retirement curve is a function of samples retired, so halving spp
+    halves the iteration count at which occupancy collapses. Measured
+    on the 1080p bunny frame (scripts/probe_r26.py): spp4/P8 (work 32)
+    wants 96 (27.0 vs 23.4 Mrays/s at the fixed 288), spp8/P8 (64)
+    wants 288, spp16/P8 (128) wants 384 (49.8 vs 46.8). Caps are traced
+    operands — each value costs a schedule, not a recompile."""
     if cfg.mega_cascade and p > 1 and cfg.mega_tail_respread:
+        work = p * cfg.rays_per_pixel
+        # Scaling factors are expressed relative to _CASCADE_STAGE0 so
+        # shrunken-test grids (conftest/monkeypatch overrides) scale
+        # with their stage constants: 96/288 at work<=32, 384/288 at
+        # work>=128 on the production grid.
+        if work <= 32:
+            cap = max(1, _CASCADE_STAGE0 // 3)
+        elif work < 128:
+            cap = _CASCADE_STAGE0
+        else:
+            cap = (_CASCADE_STAGE0 * 4) // 3
         # min() keeps shrunken-test schedules (and any user override of
         # the global grid) meaningful: the cascade cap only ever lands
         # the boundary EARLIER.
-        return min(_CASCADE_STAGE0, _MEGA_STAGE_ITERS)
+        return min(cap, _MEGA_STAGE_ITERS)
     return _MEGA_STAGE_ITERS
 
 
