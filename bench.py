@@ -339,8 +339,14 @@ def main():
     # at 2, scripts/probe_r3e.py; +5% more at 4 with the 65536
     # sub-batch floor, scripts/probe_r27.py). Stages below 4x the
     # floor degrade to the largest admissible split automatically.
+    # mega_tail_passes=3: with root expansion removing the enter/root
+    # iterations, replay-shade passes dominate live iterations; three
+    # in-iteration retire->shade->re-enter passes cut the iteration
+    # count superlinearly (probes r30-r32: 47 -> 76 Mrays/s; tail4 and
+    # unroll4 combos regress — the body spills).
     common = dict(tile_size=args.tile_size, seed_mode="reference",
-                  pixels_per_lane=8, mega_interleave=4)
+                  pixels_per_lane=8, mega_interleave=4,
+                  mega_tail_passes=3)
 
     results = []
     if args.ladder:

@@ -13,6 +13,9 @@ which batch traces them — the recursive SPMD form of the reference's
 dynamic work queue (src/image.hpp:289-333).
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy (see pyproject addopts)
 import numpy as np
 
 import jax.numpy as jnp

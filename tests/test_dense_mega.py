@@ -17,6 +17,8 @@ per-triangle Möller-Trumbore below.
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy (see pyproject addopts)
+
 import jax.numpy as jnp
 
 from tpurt.config import RenderConfig

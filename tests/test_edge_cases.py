@@ -4,6 +4,8 @@ degenerate configs — exercised on both engines."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy (see pyproject addopts)
+
 from tpurt.config import RenderConfig
 from tpurt.core.camera import Camera
 from tpurt.render.renderer import render_frame

@@ -10,6 +10,8 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy (see pyproject addopts)
+
 from tpurt import anim
 from tpurt.config import RenderConfig
 from tpurt.core.camera import Camera

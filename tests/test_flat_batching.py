@@ -8,6 +8,8 @@ with and without the staged-compaction driver."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy (see pyproject addopts)
+
 from tpurt.config import RenderConfig
 from tpurt.render.renderer import render_frame
 from tpurt.scene.presets import default_scene

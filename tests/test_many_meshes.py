@@ -18,6 +18,8 @@ import dataclasses
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy (see pyproject addopts)
+
 import tpurt.config as config_mod
 from tpurt.config import RenderConfig
 from tpurt.core.camera import Camera

@@ -10,6 +10,9 @@ mega_body="auto" resolves to "xla" off-TPU, so the default config never
 routes CPU runs through interpret mode.
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy (see pyproject addopts)
 import numpy as np
 
 from tpurt.config import RenderConfig

@@ -8,6 +8,8 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy (see pyproject addopts)
+
 from tpurt.render import intersect as I
 from tpurt.render.pallas_kernels import mt_sweep_pallas, pad_tri_rows
 from tpurt.scene import procedural

@@ -5,6 +5,8 @@ import numpy as np
 import jax
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy (see pyproject addopts)
+
 from tpurt.config import RenderConfig
 from tpurt.parallel import make_mesh, render_frame_sharded
 from tpurt.render.renderer import render_frame

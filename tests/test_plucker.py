@@ -10,6 +10,8 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy (see pyproject addopts)
+
 from tpurt.render.intersect import _mt_sweep, _make_tri_table, _LocalBest
 from tpurt.render.plucker import build_plucker_table, plucker_sweep
 

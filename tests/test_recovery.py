@@ -8,6 +8,8 @@ with a TileAccumulator resumes from its finished tiles bitwise."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy (see pyproject addopts)
+
 import jax
 
 import tpurt.render.renderer as renderer

@@ -35,7 +35,10 @@ from tpurt.scene.presets import cornell_sphere_scene
 from tpurt.scene.types import MaterialType
 
 
-@pytest.mark.parametrize("engine", ["modular", "mega"])
+@pytest.mark.parametrize(
+    "engine",
+    ["modular", pytest.param("mega", marks=pytest.mark.slow)],
+)
 def test_cornell_sphere_bitwise(engine):
     cfg = RenderConfig(
         width=16, height=16, rays_per_pixel=2, max_bounces=3, tile_size=16,
@@ -94,7 +97,8 @@ def _all_materials_scene():
 
 @pytest.mark.parametrize(
     "engine,bruteforce_threshold",
-    [("modular", 4096), ("modular", 10), ("mega", 4096)],
+    [("modular", 4096), ("modular", 10),
+     pytest.param("mega", 4096, marks=pytest.mark.slow)],
 )
 def test_all_materials_bitwise(engine, bruteforce_threshold):
     """Every material branch + Russian roulette + transformed instances,
@@ -109,6 +113,7 @@ def test_all_materials_bitwise(engine, bruteforce_threshold):
     assert_mostly_bitwise(mine, ref)
 
 
+@pytest.mark.slow
 def test_staged_compaction_bitwise():
     """The host-staged megakernel (capped stages + quarter-batch lane
     compaction) must produce the identical image to the single-shot
@@ -124,6 +129,7 @@ def test_staged_compaction_bitwise():
     assert_mostly_bitwise(staged, ref, max_flip_fraction=0.0)
 
 
+@pytest.mark.slow
 def test_engines_agree_on_default_scene():
     """Modular vs megakernel on the default Cornell scene at a size
     where knife-edge pixels statistically appear."""
@@ -135,6 +141,7 @@ def test_engines_agree_on_default_scene():
     assert_mostly_bitwise(a, b)
 
 
+@pytest.mark.slow
 def test_tile_decomposition_bitwise_invariant():
     """Any tile split must give the identical frame — the deliberate fix
     of the reference's per-device seed drift (image.hpp:228,304)."""
@@ -147,6 +154,7 @@ def test_tile_decomposition_bitwise_invariant():
         np.testing.assert_array_equal(whole, split)
 
 
+@pytest.mark.slow
 def test_decorrelated_mode_close_to_reference_mode():
     """Different estimator, same integral: means should agree loosely."""
     cfg = RenderConfig(width=12, height=12, rays_per_pixel=16, max_bounces=3,
@@ -158,6 +166,7 @@ def test_decorrelated_mode_close_to_reference_mode():
     assert np.isfinite(b).all()
 
 
+@pytest.mark.slow
 def test_frame_index_changes_image():
     cfg = RenderConfig(width=8, height=8, rays_per_pixel=2, max_bounces=3,
                        tile_size=8, object_path="sphere0.obj")
@@ -168,7 +177,9 @@ def test_frame_index_changes_image():
 
 
 def test_render_image_uint8():
+    # modular engine: the fast gate avoids the megakernel compile
     cfg = RenderConfig(width=8, height=8, rays_per_pixel=1, max_bounces=2,
+                       engine="modular",
                        tile_size=8, object_path="sphere0.obj")
     scene, cam, _ = cornell_sphere_scene(0, cfg)
     img = render_image(scene, cam, cfg)

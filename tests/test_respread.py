@@ -12,6 +12,9 @@ The SPMD counterpart of the reference's dynamic queue draining its
 straggler tail across devices (src/image.hpp:289-333).
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy (see pyproject addopts)
 import numpy as np
 
 from tpurt.config import RenderConfig

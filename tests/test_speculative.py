@@ -12,6 +12,9 @@ threads block on every tile (src/image.hpp:241-253); this is the
 async-dispatch discipline a tunnel-attached accelerator needs.
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy (see pyproject addopts)
 import numpy as np
 
 from tpurt.config import RenderConfig

@@ -70,6 +70,22 @@ MEGA_UNROLL = 2
 #: the old 131072 floor with interleave=2.
 MEGA_INTERLEAVE_FLOOR = 65536
 
+#: Inline root-node expansion at chain-enter time. A traversal entry
+#: whose root row is a NODE row normally spends its first loop
+#: iteration gathering that row (whose index is BUILD-TIME STATIC per
+#: entry) just to run the 32-child test on it. When enabled, the enter
+#: step runs that first node test inline from a small precomputed
+#: per-entry table (decoded child bounds as SMEM scalars — no row
+#: gather, no scalar bitcasts, which Mosaic cannot lower) and descends
+#: directly to the first hit child — merging the measured 0.50/seg
+#: enter-bubble iteration into productive work and removing ~1 gathered
+#: row per entered traversal (round-2 counters: node 1.01/seg of live
+#: 2.14). Trajectory-identical hit decisions: the table holds the exact
+#: f32 values the in-loop decode computes. Disabled above the entry cap
+#: (each expanded entry adds MEGA_ARITY slab tests to the tail body).
+MEGA_ROOT_EXPAND = True
+MEGA_ROOT_EXPAND_MAX_E = 4
+
 
 @dataclasses.dataclass(frozen=True)
 class RenderConfig:

@@ -88,10 +88,22 @@ def make_pallas_body(scene, params, slot_rays, frame_index, sample_offset,
          jnp.asarray(sample_offset, jnp.int32)]
     ).reshape(1, 2)
     ptab = params.table if params is not None else jnp.zeros((1, 1), jnp.float32)
+    # Root-expansion tables ride in SMEM like ptab (scalar reads only);
+    # dummies when no entry expands so the operand list stays fixed.
+    rootsf = (
+        params.roots_f
+        if params is not None and params.roots_f is not None
+        else jnp.zeros((1, 1), jnp.float32)
+    )
+    rootsi = (
+        params.roots_i
+        if params is not None and params.roots_i is not None
+        else jnp.zeros((1, 1), jnp.int32)
+    )
     static_meta = (
-        (params.root, params.root_leaf, params.mesh)
+        (params.root, params.root_leaf, params.mesh, params.expand)
         if params is not None
-        else ((), (), ())
+        else ((), (), (), ())
     )
     # Quota-slot primary rays: (R,) f32 leaves, blocked like the lane
     # state (read-only; no output twins).
@@ -128,6 +140,8 @@ def make_pallas_body(scene, params, slot_rays, frame_index, sample_offset,
             pl.BlockSpec(mats.shape, lambda i: (0, 0), **sm),
             pl.BlockSpec(srows.shape, lambda i: (0, 0), **sm),
             pl.BlockSpec(fo.shape, lambda i: (0, 0), **sm),
+            pl.BlockSpec(rootsf.shape, lambda i: (0, 0), **sm),
+            pl.BlockSpec(rootsi.shape, lambda i: (0, 0), **sm),
         ]
         in_specs += [
             pl.BlockSpec((subl, 128), lambda i: (i, 0), **vm)
@@ -137,7 +151,7 @@ def make_pallas_body(scene, params, slot_rays, frame_index, sample_offset,
             pl.BlockSpec((subl, 128), lambda i: (i, 0), **vm)
             for _ in slot_xs
         ]
-        inputs = [ptab, mats, srows, fo] + xs + slot_xs
+        inputs = [ptab, mats, srows, fo, rootsf, rootsi] + xs + slot_xs
         if e_count:
             rowt = row  # already (W, R): gathered from the transposed bank
             w = rowt.shape[0]
@@ -163,10 +177,11 @@ def make_pallas_body(scene, params, slot_rays, frame_index, sample_offset,
         n_slot = len(slot_xs)
 
         def kernel(*refs):
-            ptab_ref, mats_ref, srows_ref, fo_ref = refs[:4]
-            state_refs = refs[4 : 4 + n_state]
-            slot_refs = refs[4 + n_state : 4 + n_state + n_slot]
-            pos = 4 + n_state + n_slot
+            (ptab_ref, mats_ref, srows_ref, fo_ref,
+             rootsf_ref, rootsi_ref) = refs[:6]
+            state_refs = refs[6 : 6 + n_state]
+            slot_refs = refs[6 + n_state : 6 + n_state + n_slot]
+            pos = 6 + n_state + n_slot
             row_ref = refs[pos] if e_count else None
             out_refs = refs[pos + (1 if e_count else 0):]
 
@@ -182,7 +197,9 @@ def make_pallas_body(scene, params, slot_rays, frame_index, sample_offset,
             col = (lambda j: row_ref[j]) if e_count else None
             params_k = _ChainParams(table=ptab_ref, root=static_meta[0],
                                     root_leaf=static_meta[1],
-                                    mesh=static_meta[2])
+                                    mesh=static_meta[2],
+                                    roots_f=rootsf_ref, roots_i=rootsi_ref,
+                                    expand=static_meta[3])
             slots_k = jax.tree_util.tree_unflatten(
                 slot_treedef, [ref[...] for ref in slot_refs]
             )

@@ -191,6 +191,14 @@ class _ChainParams(NamedTuple):
     root: Tuple[int, ...]  # static row indices
     root_leaf: Tuple[bool, ...]
     mesh: Tuple[int, ...]  # static mesh ids (-1 = fused static entry)
+    # Root-expansion tables (config.MEGA_ROOT_EXPAND; None when no
+    # entry expands). roots_f: (E, 1 + 6*MEGA_ARITY) f32 — [sort axis
+    # as f32, then per slot bmin.xyz/bmax.xyz DECODED exactly as the
+    # in-loop quantised decode computes them]. roots_i: (E, MEGA_ARITY)
+    # i32 child metas. expand: static per-entry gate.
+    roots_f: jnp.ndarray = None
+    roots_i: jnp.ndarray = None
+    expand: Tuple[bool, ...] = ()
 
 
 def _chain_params(scene: Scene) -> _ChainParams:
@@ -227,12 +235,73 @@ def _chain_params(scene: Scene) -> _ChainParams:
                 scene.mesh_scale[i][None], one_sided[None], cull[None],
                 rmin, rmax,
             ]))
+    cfg = _config_mod()
+    chain_roots = tuple(r for _, r, _ in scene.mega_chain)
+    chain_leaf = tuple(l for _, _, l in scene.mega_chain)
+    expand = tuple(
+        bool(cfg.MEGA_ROOT_EXPAND)
+        and len(scene.mega_chain) <= cfg.MEGA_ROOT_EXPAND_MAX_E
+        and not leaf
+        for leaf in chain_leaf
+    )
+    roots_f = roots_i = None
+    if any(expand):
+        roots_f, roots_i = _root_tables(scene, chain_roots, expand)
     return _ChainParams(
         table=jnp.stack(rows),
-        root=tuple(r for _, r, _ in scene.mega_chain),
-        root_leaf=tuple(l for _, _, l in scene.mega_chain),
+        root=chain_roots,
+        root_leaf=chain_leaf,
         mesh=tuple(m for m, _, _ in scene.mega_chain),
+        roots_f=roots_f,
+        roots_i=roots_i,
+        expand=expand,
     )
+
+
+def _root_tables(scene: Scene, chain_roots, expand):
+    """Precompute each expanded entry's root-node test inputs: the
+    sort axis, DECODED per-slot child bounds, and child metas, read as
+    SMEM scalars by the enter-time expansion (_expand_root). The bounds
+    are computed with exactly the in-loop expression
+    ``grid_o + q * grid_s`` on exactly the same f32 inputs, so the
+    expansion's slab tests reproduce the node branch's hit decisions.
+    Runs at trace time outside Pallas (bitcasts are legal here; Mosaic
+    cannot lower scalar bitcasts, which is why bytes are pre-extracted)."""
+    f_rows = []
+    i_rows = []
+    m8 = jnp.uint32(0xFF)
+    b2f = lambda v: v.astype(jnp.int32).astype(_F32)
+    for e, root in enumerate(chain_roots):
+        if not expand[e]:
+            f_rows.append(jnp.zeros((1 + 6 * MEGA_ARITY,), _F32))
+            i_rows.append(jnp.zeros((MEGA_ARITY,), jnp.int32))
+            continue
+        row = scene.mega_rows[root]  # (W,) f32
+        grid_o = row[0:3]
+        grid_s = row[3:6]
+        axis_f = lax.bitcast_convert_type(row[6], jnp.int32).astype(_F32)
+        cols = [axis_f[None]]
+        metas = []
+        for slot in range(MEGA_ARITY):
+            base = 7 + 3 * slot
+            w0 = lax.bitcast_convert_type(row[base], jnp.uint32)
+            w1 = lax.bitcast_convert_type(row[base + 1], jnp.uint32)
+            metas.append(lax.bitcast_convert_type(row[base + 2], jnp.int32))
+            q_lo = jnp.stack([
+                b2f(w0 & m8),
+                b2f((w0 >> jnp.uint32(8)) & m8),
+                b2f((w0 >> jnp.uint32(16)) & m8),
+            ])
+            q_hi = jnp.stack([
+                b2f((w0 >> jnp.uint32(24)) & m8),
+                b2f(w1 & m8),
+                b2f((w1 >> jnp.uint32(8)) & m8),
+            ])
+            cols.append(grid_o + q_lo * grid_s)
+            cols.append(grid_o + q_hi * grid_s)
+        f_rows.append(jnp.concatenate(cols))
+        i_rows.append(jnp.stack(metas))
+    return jnp.stack(f_rows), jnp.stack(i_rows)
 
 
 
@@ -504,6 +573,92 @@ def _pretest(params, e_count: int, entry, lo: V3, lid: V3, w_dst):
     rmax = _sel_v3(tab, entry_c, e_count, _CP_RMAX)
     ok, _ = _aabb_soa(lo, lid, rmin, rmax, w_dst / safe * _F32(1.001))
     return ok
+
+
+def _expand_root(
+    params: _ChainParams,
+    e: int,  # static entry index (params.expand[e] is True)
+    mask,  # (R,) bool — lanes entering entry e with a passing pretest
+    lo: V3, ld: V3, lid: V3,  # the entry's local ray
+    lt, w_dst,  # distance state as the next node step would see it
+    cur, cur_leaf, stack, s_depth: int,
+):
+    """Run entry ``e``'s root-node test inline at enter time (the
+    node branch of _body_math one iteration early, from precomputed
+    SMEM scalars instead of a gathered row): descend straight to the
+    first hit child, push the resolved second child / parent resume
+    exactly as the node step would, or finish the entry (cur = -1)
+    when no child hits. Saves the root-row gather AND its loop
+    iteration for every entered traversal; hit decisions and stack
+    contents are identical to the un-expanded trajectory."""
+    lanes = cur.shape
+    rf, ri = params.roots_f, params.roots_i
+    tab = params.table
+
+    scale = tab[e, _CP_SCALE]
+    safe = jnp.where(jnp.abs(scale) > _EPS, scale, _F32(1.0))
+    limit = jnp.minimum(lt, w_dst / safe * _F32(1.001))
+    # Scalar table reads are broadcast to lane vectors BEFORE any
+    # compare: Mosaic cannot splat the i1 a scalar compare would
+    # produce (the node branch's operands are all lane vectors too).
+    zeros = jnp.zeros(lanes, _F32)
+    zeros_i = jnp.zeros(lanes, jnp.int32)
+    axis_v = zeros + rf[e, 0]
+    dcomp = jnp.where(
+        axis_v == _F32(0.0), ld.x,
+        jnp.where(axis_v == _F32(1.0), ld.y, ld.z),
+    )
+    fwd = dcomp >= 0.0
+
+    best_prio = jnp.full(lanes, MEGA_ARITY, jnp.int32)
+    first_meta = jnp.zeros(lanes, jnp.int32)
+    second_prio = jnp.full(lanes, MEGA_ARITY, jnp.int32)
+    second_meta = jnp.zeros(lanes, jnp.int32)
+    hit_count = jnp.zeros(lanes, jnp.int32)
+    for slot in range(MEGA_ARITY):
+        meta = zeros_i + ri[e, slot]  # scalar i32 -> lane vector
+        base = 1 + 6 * slot
+        bmin = V3(rf[e, base], rf[e, base + 1], rf[e, base + 2])
+        bmax = V3(rf[e, base + 3], rf[e, base + 4], rf[e, base + 5])
+        hit, _tmin = _aabb_soa(lo, lid, bmin, bmax, limit)
+        prio = jnp.where(fwd, slot, MEGA_ARITY - 1 - slot)
+        hit = hit & (meta != 0)  # enter implies cur_slot == 0: no floor
+        better = hit & (prio < best_prio)
+        second = hit & ~better & (prio < second_prio)
+        second_prio = jnp.where(
+            better, best_prio, jnp.where(second, prio, second_prio)
+        )
+        second_meta = jnp.where(
+            better, first_meta, jnp.where(second, meta, second_meta)
+        )
+        best_prio = jnp.where(better, prio, best_prio)
+        first_meta = jnp.where(better, meta, first_meta)
+        hit_count = hit_count + hit.astype(jnp.int32)
+
+    first_found = best_prio < MEGA_ARITY
+    desc = mask & first_found
+    push_child = desc & (hit_count >= 2)
+    push_resume = desc & (hit_count >= 3)
+
+    root_row = int(params.root[e])  # build-time static
+    resume_entry = (
+        jnp.uint32(root_row << MEGA_SLOT_BITS)
+        | (second_prio + 1).astype(jnp.uint32)
+    )
+    child_entry = _TAG | second_meta.astype(jnp.uint32)
+
+    cur = jnp.where(desc, first_meta >> 1, jnp.where(mask, -1, cur))
+    cur_leaf = _bsel(desc, (first_meta & 1) == 1, cur_leaf & ~mask)
+    # Entering lanes hold an empty stack by invariant (restart resets
+    # it; a chain advance only happens once the previous entry's stack
+    # drained), so the node step's two push cascades reduce to direct
+    # slot writes: resolved 2nd child on top, parent resume below it.
+    assert s_depth >= 2, "node-root scenes always carry stack depth >= 2"
+    stack = (
+        jnp.where(push_child, child_entry, stack[0]),
+        jnp.where(push_resume, resume_entry, stack[1]),
+    ) + tuple(stack[2:])
+    return cur, cur_leaf, stack
 
 
 def _body_math(
@@ -1047,6 +1202,23 @@ def _body_math(
             cur = jnp.where(entering, root_or_skip, cur)
             cur_leaf = _bsel(entering, leaf_e & ok_e, cur_leaf)
             cur_slot = jnp.where(entering, 0, cur_slot)
+            # ROOT EXPANSION (config.MEGA_ROOT_EXPAND): entries whose
+            # root is a node row run its 32-child test right here from
+            # precomputed scalars and descend straight to the first hit
+            # child — the gather the next iteration would have spent on
+            # the (static) root row never happens.
+            for e_x in range(e_count):
+                # dense mode never walks rows: cur >= 0 only flags an
+                # unresolved entry for the sweep — do not expand.
+                if dense_hit is not None:
+                    break
+                if e_x >= len(params.expand) or not params.expand[e_x]:
+                    continue
+                m_x = entering & ok_e & (entry == e_x)
+                cur, cur_leaf, stack = _expand_root(
+                    params, e_x, m_x, lo, ld, lid, t.lt, w_dst,
+                    cur, cur_leaf, stack, s_depth,
+                )
         else:
             lo, ld, lid = t.lo, t.ld, t.lid
 
@@ -1225,10 +1397,21 @@ def run_megakernel(
         )
         pre_ok0 = _pretest(params, e_count, zeros_i, lo0, lid0, sd)
         cur0 = jnp.where(pre_ok0, root0, -1)
+        cur_leaf0 = root_leaf0 & (cur0 >= 0)
+        stack0 = tuple(empty_slot for _ in range(s_depth))
+        if params.expand and params.expand[0] and not dense:
+            # Primary segments start at entry 0: expand its root here
+            # (same math as the tail's enter-time expansion).
+            cur0, cur_leaf0, stack0 = _expand_root(
+                params, 0, pre_ok0, lo0, ld0, lid0,
+                jnp.full((r,), _INF, _F32), sd,
+                cur0, cur_leaf0, stack0, s_depth,
+            )
     else:
         lo0, ld0, lid0 = ro0, rd0, V3(1.0 / rd0.x, 1.0 / rd0.y, 1.0 / rd0.z)
         cur0 = zeros_i - 1
-        root_leaf0 = falses
+        cur_leaf0 = falses
+        stack0 = tuple(empty_slot for _ in range(s_depth))
 
     if debug_counters:
         assert max_iterations is None and body_backend != "pallas"
@@ -1245,8 +1428,8 @@ def run_megakernel(
         throughput=V3(ones, ones, ones), light=zero3,
         bounces=zeros_i, invis=zeros_i,
         entry=zeros_i,
-        cur=cur0, cur_leaf=root_leaf0 & (cur0 >= 0), cur_slot=zeros_i,
-        stack=empty_stack,
+        cur=cur0, cur_leaf=cur_leaf0, cur_slot=zeros_i,
+        stack=stack0,
         lo=lo0, ld=ld0, lid=lid0,
         lt=jnp.full((r,), _INF, _F32), lnrm=zero3, lback=falses,
         lmesh=zeros_i - 1,
