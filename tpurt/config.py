@@ -86,6 +86,49 @@ MEGA_INTERLEAVE_FLOOR = 65536
 MEGA_ROOT_EXPAND = True
 MEGA_ROOT_EXPAND_MAX_E = 4
 
+#: Tail passes that run the enter-time root expansion. Each expanded
+#: entry costs MEGA_ARITY slab tests PER TAIL PASS (the expansion block
+#: is emitted once per pass), so later passes' expansions triple that
+#: body cost at tail_passes=3. Passes beyond this count enter with
+#: cur = root instead; the NEXT iteration's node branch performs the
+#: same 32-child test from the gathered root row — radiance is bitwise
+#: identical (same per-lane op sequence), only iteration scheduling
+#: moves. 99 = expand in every pass.
+MEGA_EXPAND_PASSES = 99
+
+#: Lanes per Pallas grid block in the fused Mosaic body (was a module
+#: constant in render/mega_pallas.py). The tail3+expansion body sits at
+#: the compiler's default 16 MB scoped-VMEM ceiling at 4096 (probe_r34:
+#: +1 MB of intermediates OOMs the kernel), which suggests spill
+#: pressure; read at trace time so probes can sweep it.
+MEGA_BLOCK_LANES = 4096
+
+#: Mosaic vmem_limit_bytes for the fused body (0 = compiler default,
+#: 16 MB scoped). v5e VMEM is far larger than the default scoped
+#: limit; raising it gives the register allocator room instead of
+#: spilling/failing.
+MEGA_VMEM_LIMIT_MB = 0
+
+#: Scene-specialised material-branch pruning in the shade step
+#: (shading.shade_hit_soa ``present``): bitwise-identical on CPU (the
+#: pruned branches' masks are all-False and masked RNG draws freeze),
+#: but measured a net LOSS on the v5e Mosaic body (probe_r36: the
+#: pruned program exceeds the default 16 MB scoped-VMEM ceiling —
+#: fewer ops, worse schedule — and at vmem=24 MB runs 72.5 vs the
+#: unpruned 86.4 Mrays/s). Default OFF on the megakernel path until
+#: the Mosaic scheduling interaction is understood.
+MEGA_MAT_PRUNE = False
+
+#: Freeze-time node-row bounds encoding (scene/builder): bf16 absolute
+#: child bounds (4 words/slot, decode = shift+bitcast) instead of u8 on
+#: a per-node grid (3 words/slot, byte extraction + FMA decode). bf16
+#: is both cheaper to decode (~20 fewer VPU ops per slot) and TIGHTER
+#: (relative 2^-8 rounding vs 1/255 of the parent extent), so lanes
+#: descend into fewer false-positive children. Conservative either way:
+#: hit results are identical, only traversal work changes. Baked into
+#: the Scene at freeze (Scene.mega_bounds_fmt).
+MEGA_BF16_BOUNDS = False
+
 
 @dataclasses.dataclass(frozen=True)
 class RenderConfig:

@@ -49,11 +49,31 @@ except Exception:  # pragma: no cover
     pltpu = None
     _HAS_PLTPU = False
 
-#: Lanes per grid block. VMEM per block at 4096 lanes: ~1.3 MB state in
-#: + 1.3 MB out + 2.6 MB rows — comfortably under the ~16 MB budget
-#: with pipelining.
+#: Lanes per grid block (default; live value reads
+#: tpurt.config.MEGA_BLOCK_LANES at trace time). VMEM per block at 4096
+#: lanes: ~1.3 MB state in + 1.3 MB out + 2.6 MB rows + Mosaic scratch —
+#: measured AT the default 16 MB scoped ceiling for the tail3+expansion
+#: body (probe_r34).
 BLOCK_LANES = 4096
 _SUBLANES = BLOCK_LANES // 128
+
+
+def _block_lanes() -> int:
+    import tpurt.config as _c
+
+    return int(getattr(_c, "MEGA_BLOCK_LANES", BLOCK_LANES))
+
+
+def _compiler_params():
+    """CompilerParams with a raised VMEM limit when configured."""
+    import tpurt.config as _c
+
+    mb = int(getattr(_c, "MEGA_VMEM_LIMIT_MB", 0))
+    if mb > 0 and _HAS_PLTPU:
+        return {"compiler_params": pltpu.CompilerParams(
+            vmem_limit_bytes=mb * 1024 * 1024
+        )}
+    return {}
 
 
 def _interpret_default() -> bool:
@@ -116,7 +136,7 @@ def make_pallas_body(scene, params, slot_rays, frame_index, sample_offset,
         r = leaves[0].shape[0]
         dtypes = [l.dtype for l in leaves]
 
-        block = min(BLOCK_LANES, max(128, -(-r // 128) * 128))
+        block = min(_block_lanes(), max(128, -(-r // 128) * 128))
         r_pad = -(-r // block) * block
         grid = r_pad // block
         subl = block // 128
@@ -221,6 +241,7 @@ def make_pallas_body(scene, params, slot_rays, frame_index, sample_offset,
             out_specs=out_specs,
             out_shape=out_shape,
             interpret=interpret,
+            **_compiler_params(),
         )(*inputs)
 
         new_leaves = []

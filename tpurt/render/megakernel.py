@@ -77,6 +77,7 @@ from tpurt.core import rng as rnglib
 from tpurt.core import v3 as v3lib
 from tpurt.core.v3 import V3
 from tpurt.core.vecmath import euler_rotation
+from tpurt.render import shading as _shading
 from tpurt.render.shading import pack_materials, shade_hit_soa
 from tpurt.scene.builder import MEGA_ARITY, MEGA_LEAF_TRIS, MEGA_SLOT_BITS
 from tpurt.scene.types import MaterialType, Scene
@@ -270,35 +271,57 @@ def _root_tables(scene: Scene, chain_roots, expand):
     f_rows = []
     i_rows = []
     m8 = jnp.uint32(0xFF)
+    m_hi = jnp.uint32(0xFFFF0000)
     b2f = lambda v: v.astype(jnp.int32).astype(_F32)
+    bcf = lambda u: lax.bitcast_convert_type(u, _F32)
+    bf16 = scene.mega_bounds_fmt == "bf16"
     for e, root in enumerate(chain_roots):
         if not expand[e]:
             f_rows.append(jnp.zeros((1 + 6 * MEGA_ARITY,), _F32))
             i_rows.append(jnp.zeros((MEGA_ARITY,), jnp.int32))
             continue
         row = scene.mega_rows[root]  # (W,) f32
-        grid_o = row[0:3]
-        grid_s = row[3:6]
         axis_f = lax.bitcast_convert_type(row[6], jnp.int32).astype(_F32)
         cols = [axis_f[None]]
         metas = []
-        for slot in range(MEGA_ARITY):
-            base = 7 + 3 * slot
-            w0 = lax.bitcast_convert_type(row[base], jnp.uint32)
-            w1 = lax.bitcast_convert_type(row[base + 1], jnp.uint32)
-            metas.append(lax.bitcast_convert_type(row[base + 2], jnp.int32))
-            q_lo = jnp.stack([
-                b2f(w0 & m8),
-                b2f((w0 >> jnp.uint32(8)) & m8),
-                b2f((w0 >> jnp.uint32(16)) & m8),
-            ])
-            q_hi = jnp.stack([
-                b2f((w0 >> jnp.uint32(24)) & m8),
-                b2f(w1 & m8),
-                b2f((w1 >> jnp.uint32(8)) & m8),
-            ])
-            cols.append(grid_o + q_lo * grid_s)
-            cols.append(grid_o + q_hi * grid_s)
+        if bf16:
+            for slot in range(MEGA_ARITY):
+                base = 7 + 4 * slot
+                w0 = lax.bitcast_convert_type(row[base], jnp.uint32)
+                w1 = lax.bitcast_convert_type(row[base + 1], jnp.uint32)
+                w2 = lax.bitcast_convert_type(row[base + 2], jnp.uint32)
+                metas.append(
+                    lax.bitcast_convert_type(row[base + 3], jnp.int32)
+                )
+                sh = jnp.uint32(16)
+                cols.append(jnp.stack(
+                    [bcf(w0 << sh), bcf(w0 & m_hi), bcf(w1 << sh)]
+                ))
+                cols.append(jnp.stack(
+                    [bcf(w1 & m_hi), bcf(w2 << sh), bcf(w2 & m_hi)]
+                ))
+        else:
+            grid_o = row[0:3]
+            grid_s = row[3:6]
+            for slot in range(MEGA_ARITY):
+                base = 7 + 3 * slot
+                w0 = lax.bitcast_convert_type(row[base], jnp.uint32)
+                w1 = lax.bitcast_convert_type(row[base + 1], jnp.uint32)
+                metas.append(
+                    lax.bitcast_convert_type(row[base + 2], jnp.int32)
+                )
+                q_lo = jnp.stack([
+                    b2f(w0 & m8),
+                    b2f((w0 >> jnp.uint32(8)) & m8),
+                    b2f((w0 >> jnp.uint32(16)) & m8),
+                ])
+                q_hi = jnp.stack([
+                    b2f((w0 >> jnp.uint32(24)) & m8),
+                    b2f(w1 & m8),
+                    b2f((w1 >> jnp.uint32(8)) & m8),
+                ])
+                cols.append(grid_o + q_lo * grid_s)
+                cols.append(grid_o + q_hi * grid_s)
         f_rows.append(jnp.concatenate(cols))
         i_rows.append(jnp.stack(metas))
     return jnp.stack(f_rows), jnp.stack(i_rows)
@@ -692,6 +715,8 @@ def _body_math(
     width: int = 0,
     height: int = 0,
     tail_passes: int = 1,
+    mat_present: tuple = None,  # static material-type set (branch pruning)
+    bounds_fmt: str = "u8",  # node-row child-bounds encoding (static)
     dense_hit=None,  # (t, normal V3, backface, mesh) from the fused
     #   dense sweep — replaces the BVH walk when set (dense mode)
 ) -> _Lane:
@@ -796,8 +821,9 @@ def _body_math(
         # bound prunes far siblings. cur_slot is a priority threshold
         # for resuming a popped node.
         node_on = trav & ~s.cur_leaf
-        grid_o = V3(col(0), col(1), col(2))
-        grid_s = V3(col(3), col(4), col(5))
+        if bounds_fmt != "bf16":
+            grid_o = V3(col(0), col(1), col(2))
+            grid_s = V3(col(3), col(4), col(5))
         sort_axis = lax.bitcast_convert_type(col(6), jnp.int32)
         dcomp = jnp.where(
             sort_axis == 0, s.ld.x,
@@ -810,26 +836,41 @@ def _body_math(
         second_meta = zeros_i
         hit_count = zeros_i
         m8 = np.uint32(0xFF)
+        m_hi = np.uint32(0xFFFF0000)
         for slot in range(MEGA_ARITY):
-            base = 7 + 3 * slot
-            w0 = lax.bitcast_convert_type(col(base), jnp.uint32)
-            w1 = lax.bitcast_convert_type(col(base + 1), jnp.uint32)
-            meta = lax.bitcast_convert_type(col(base + 2), jnp.int32)
-            # u32 -> i32 -> f32 (values are bytes; Mosaic cannot lower a
-            # direct u32 -> f32 cast — see rng.u32_to_f32_exact).
-            b2f = lambda v: v.astype(jnp.int32).astype(_F32)
-            q_lo = V3(
-                b2f(w0 & m8),
-                b2f((w0 >> np.uint32(8)) & m8),
-                b2f((w0 >> np.uint32(16)) & m8),
-            )
-            q_hi = V3(
-                b2f((w0 >> np.uint32(24)) & m8),
-                b2f(w1 & m8),
-                b2f((w1 >> np.uint32(8)) & m8),
-            )
-            bmin = grid_o + q_lo * grid_s
-            bmax = grid_o + q_hi * grid_s
+            if bounds_fmt == "bf16":
+                # Absolute bf16 bounds, two per word in the f32 TOP
+                # halves: decode = shift/mask + vector bitcast (no FMA,
+                # no byte extraction) — see builder._emit_mega_subtree.
+                base = 7 + 4 * slot
+                w0 = lax.bitcast_convert_type(col(base), jnp.uint32)
+                w1 = lax.bitcast_convert_type(col(base + 1), jnp.uint32)
+                w2 = lax.bitcast_convert_type(col(base + 2), jnp.uint32)
+                meta = lax.bitcast_convert_type(col(base + 3), jnp.int32)
+                bcf = lambda u: lax.bitcast_convert_type(u, _F32)
+                sh16 = np.uint32(16)
+                bmin = V3(bcf(w0 << sh16), bcf(w0 & m_hi), bcf(w1 << sh16))
+                bmax = V3(bcf(w1 & m_hi), bcf(w2 << sh16), bcf(w2 & m_hi))
+            else:
+                base = 7 + 3 * slot
+                w0 = lax.bitcast_convert_type(col(base), jnp.uint32)
+                w1 = lax.bitcast_convert_type(col(base + 1), jnp.uint32)
+                meta = lax.bitcast_convert_type(col(base + 2), jnp.int32)
+                # u32 -> i32 -> f32 (values are bytes; Mosaic cannot lower a
+                # direct u32 -> f32 cast — see rng.u32_to_f32_exact).
+                b2f = lambda v: v.astype(jnp.int32).astype(_F32)
+                q_lo = V3(
+                    b2f(w0 & m8),
+                    b2f((w0 >> np.uint32(8)) & m8),
+                    b2f((w0 >> np.uint32(16)) & m8),
+                )
+                q_hi = V3(
+                    b2f((w0 >> np.uint32(24)) & m8),
+                    b2f(w1 & m8),
+                    b2f((w1 >> np.uint32(8)) & m8),
+                )
+                bmin = grid_o + q_lo * grid_s
+                bmax = grid_o + q_hi * grid_s
             hit, _tmin = _aabb_soa(s.lo, s.lid, bmin, bmax, limit)
             prio = jnp.where(fwd, slot, MEGA_ARITY - 1 - slot)
             hit &= (meta != 0) & (prio >= s.cur_slot)
@@ -958,7 +999,7 @@ def _body_math(
 
     from tpurt.config import MEGA_SKIP_CAP, SELECT_GATHER_THRESHOLD
 
-    def _tail(t: _Lane, entering_in) -> _Lane:
+    def _tail(t: _Lane, entering_in, do_expand: bool = True) -> _Lane:
         """Segment completion: shade -> accumulate/advance -> restart ->
         static stage -> chain enter (with pretest-fail skip). Lanes not
         at the shading stage pass through unchanged, so running the
@@ -973,7 +1014,7 @@ def _body_math(
             mats, num_meshes, shade,
             t.w_valid, t.w_point, t.w_normal, t.w_back, t.w_mesh,
             t.origin, t.direction, t.throughput, t.light, t.rng, t.bounces,
-            max_bounces,
+            max_bounces, present=mat_present,
         )
         invis = t.invis + (shade & res.invisible).astype(jnp.int32)
         continuing = res.continuing & ~(
@@ -1210,7 +1251,7 @@ def _body_math(
             for e_x in range(e_count):
                 # dense mode never walks rows: cur >= 0 only flags an
                 # unresolved entry for the sweep — do not expand.
-                if dense_hit is not None:
+                if dense_hit is not None or not do_expand:
                     break
                 if e_x >= len(params.expand) or not params.expand[e_x]:
                     continue
@@ -1244,9 +1285,10 @@ def _body_math(
     # WITHOUT traversal (replays; all-pretests-failed rays), which would
     # otherwise idle a full gather iteration each (measured 0.9 of 2.14
     # live lane-iterations/segment on the bunny ladder).
-    t = _tail(t, in_chain)
-    for _ in range(max(1, tail_passes) - 1):
-        t = _tail(t, falses)
+    expand_passes = _config_mod().MEGA_EXPAND_PASSES
+    t = _tail(t, in_chain, do_expand=expand_passes >= 1)
+    for p in range(1, max(1, tail_passes)):
+        t = _tail(t, falses, do_expand=p < expand_passes)
     return t
 
 
@@ -1499,6 +1541,11 @@ def run_megakernel(
         pixel_stride=r if pixel_stride is None else int(pixel_stride),
         width=width, height=height,
         tail_passes=max(1, int(tail_passes)),
+        mat_present=(
+            _shading.mat_types_present(scene)
+            if _config_mod().MEGA_MAT_PRUNE else None
+        ),
+        bounds_fmt=scene.mega_bounds_fmt,
     )
 
     dense = bool(dense) and e_count > 0

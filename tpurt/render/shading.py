@@ -130,6 +130,14 @@ def select_material_soa(mats, num_meshes: int, mesh_idx: jnp.ndarray):
     return mtype, ior, color, em_color, em_strength, refl, spec
 
 
+def mat_types_present(scene: Scene):
+    """Static material-type set for branch pruning (None when the scene
+    predates the static mirror — prune nothing)."""
+    if scene.mesh_mat_types:
+        return tuple(sorted(set(int(t) for t in scene.mesh_mat_types)))
+    return None
+
+
 def select_material(scene: Scene, mesh_idx: jnp.ndarray):
     """Row-layout compatibility fetch: colors as (R, 3)."""
     mtype, ior, color, em_color, em_strength, refl, spec = select_material_soa(
@@ -157,56 +165,94 @@ def shade_hit_soa(
     rng: jnp.ndarray,
     bounces: jnp.ndarray,
     max_bounces: int,
+    present: tuple = None,
 ) -> ShadeResultSoA:
     """One material interaction for lanes where ``enabled``; all other
-    lanes pass through untouched (including their RNG stream)."""
+    lanes pass through untouched (including their RNG stream).
+
+    ``present`` (static) is the set of material-type ints that can occur
+    in the scene (Scene.mesh_mat_types); branches for absent types are
+    pruned from the program. Bitwise-identical to the unpruned body: an
+    absent type's mask is all-False, so its selects are identity and its
+    masked RNG draws pass the stream through unchanged
+    (rnglib.*_masked freeze non-participating lanes). None = keep all
+    branches (the conservative default)."""
+    def _has(mt: MaterialType) -> bool:
+        return present is None or int(mt) in present
+
+    def _falses(like):
+        # Lane-shaped all-False via an i32 compare (Mosaic cannot lower
+        # a bool-dtype splat — see megakernel._bool_full).
+        return jnp.zeros(like.shape, jnp.int32) != 0
+
     mtype, ior, color, em_color, em_strength, refl, spec_prob = (
         select_material_soa(mats, num_meshes, jnp.maximum(hit_mesh, 0))
     )
 
     a_hit = enabled & hit_valid
-    invisible = a_hit & (mtype == int(MaterialType.INVISIBLE))
-    scatter = a_hit & ~invisible
+    if _has(MaterialType.INVISIBLE):
+        invisible = a_hit & (mtype == int(MaterialType.INVISIBLE))
+        scatter = a_hit & ~invisible
+    else:
+        invisible = _falses(a_hit)
+        scatter = a_hit
 
     # --- Checker cell selection (Trace.cl:509-524) ---
     # Deliberate deviation: cell size 1 when emissionStrength == 0; the
     # reference divides unguarded (Trace.cl:511-515) — see README.
-    is_checker = scatter & (mtype == int(MaterialType.CHECKER))
-    checker_size = jnp.where(em_strength != 0.0, em_strength, 1.0)
-    xi = jnp.floor(hit_point.x / checker_size).astype(jnp.int32)
-    zi = jnp.floor(hit_point.z / checker_size).astype(jnp.int32)
-    is_even = ((xi + zi) & 1) == 0
-    checker_color = v3lib.where(is_even, color, em_color)
-    color = v3lib.where(is_checker, checker_color, color)
-    em_strength = jnp.where(is_checker, 0.0, em_strength)
+    if _has(MaterialType.CHECKER):
+        is_checker = scatter & (mtype == int(MaterialType.CHECKER))
+        checker_size = jnp.where(em_strength != 0.0, em_strength, 1.0)
+        xi = jnp.floor(hit_point.x / checker_size).astype(jnp.int32)
+        zi = jnp.floor(hit_point.z / checker_size).astype(jnp.int32)
+        is_even = ((xi + zi) & 1) == 0
+        checker_color = v3lib.where(is_even, color, em_color)
+        color = v3lib.where(is_checker, checker_color, color)
+        em_strength = jnp.where(is_checker, 0.0, em_strength)
+    else:
+        is_checker = _falses(scatter)
 
     # --- Diffuse/specular scatter: Checker + Solid (Trace.cl:525-533,559-567) ---
-    mask_cs = is_checker | (scatter & (mtype == int(MaterialType.SOLID)))
-    new_rng, rv = rnglib.random_value_masked(rng, mask_cs)
-    new_rng, (rdx, rdy, rdz) = rnglib.random_direction_masked_soa(new_rng, mask_cs)
-    is_specular = spec_prob >= rv
-    diffuse_dir = v3lib.normalize(hit_normal + V3(rdx, rdy, rdz))
-    specular_dir = v3lib.reflect(direction, hit_normal)
-    dir_cs = v3lib.normalize(
-        v3lib.lerp(diffuse_dir, specular_dir, refl * is_specular.astype(jnp.float32))
-    )
+    new_rng = rng
+    if _has(MaterialType.SOLID) or _has(MaterialType.CHECKER):
+        mask_cs = is_checker | (scatter & (mtype == int(MaterialType.SOLID)))
+        new_rng, rv = rnglib.random_value_masked(new_rng, mask_cs)
+        new_rng, (rdx, rdy, rdz) = rnglib.random_direction_masked_soa(
+            new_rng, mask_cs
+        )
+        is_specular = spec_prob >= rv
+        diffuse_dir = v3lib.normalize(hit_normal + V3(rdx, rdy, rdz))
+        specular_dir = v3lib.reflect(direction, hit_normal)
+        dir_cs = v3lib.normalize(
+            v3lib.lerp(diffuse_dir, specular_dir,
+                       refl * is_specular.astype(jnp.float32))
+        )
+    else:
+        mask_cs = is_checker
+        dir_cs = direction
 
     # --- Glassy (Trace.cl:534-558) ---
-    is_glassy = scatter & (mtype == int(MaterialType.GLASSY))
-    ior_cur = jnp.where(hit_backface, ior, IOR_AIR)
-    ior_next = jnp.where(hit_backface, IOR_AIR, ior)
-    reflect_dir = v3lib.reflect(direction, hit_normal)
-    refract_dir = v3lib.refract(direction, hit_normal, ior_cur, ior_next)
-    reflect_w = v3lib.fresnel_reflectance(direction, hit_normal, ior_cur, ior_next)
-    new_rng, r01 = rnglib.rand01_masked(new_rng, is_glassy)
-    will_reflect = r01 < reflect_w
-    dir_glassy = v3lib.where(will_reflect, reflect_dir, refract_dir)
-    glassy_w = jnp.where(will_reflect, reflect_w, 1.0 - reflect_w)
+    if _has(MaterialType.GLASSY):
+        is_glassy = scatter & (mtype == int(MaterialType.GLASSY))
+        ior_cur = jnp.where(hit_backface, ior, IOR_AIR)
+        ior_next = jnp.where(hit_backface, IOR_AIR, ior)
+        reflect_dir = v3lib.reflect(direction, hit_normal)
+        refract_dir = v3lib.refract(direction, hit_normal, ior_cur, ior_next)
+        reflect_w = v3lib.fresnel_reflectance(
+            direction, hit_normal, ior_cur, ior_next
+        )
+        new_rng, r01 = rnglib.rand01_masked(new_rng, is_glassy)
+        will_reflect = r01 < reflect_w
+        dir_glassy = v3lib.where(will_reflect, reflect_dir, refract_dir)
+        glassy_w = jnp.where(will_reflect, reflect_w, 1.0 - reflect_w)
 
-    new_dir = v3lib.where(
-        is_glassy, dir_glassy, v3lib.where(mask_cs, dir_cs, direction)
-    )
-    throughput_new = throughput * jnp.where(is_glassy, glassy_w, 1.0)
+        new_dir = v3lib.where(
+            is_glassy, dir_glassy, v3lib.where(mask_cs, dir_cs, direction)
+        )
+        throughput_new = throughput * jnp.where(is_glassy, glassy_w, 1.0)
+    else:
+        new_dir = v3lib.where(mask_cs, dir_cs, direction)
+        throughput_new = throughput
 
     # --- Common tail (Trace.cl:574-591) ---
     # Masked contributions keep the original add-zero / mul-one forms
@@ -223,9 +269,10 @@ def shade_hit_soa(
     )
     eps = np.float32(EPSILON)
     origin_new = v3lib.where(scatter, hit_point + new_dir * eps, origin)
-    origin_new = v3lib.where(
-        invisible, hit_point + direction * eps, origin_new
-    )
+    if _has(MaterialType.INVISIBLE):
+        origin_new = v3lib.where(
+            invisible, hit_point + direction * eps, origin_new
+        )
     throughput_new = throughput_new * V3(
         jnp.where(scatter, color.x, one),
         jnp.where(scatter, color.y, one),
@@ -279,7 +326,8 @@ def shade_hit(
     max_bounces: int,
 ) -> ShadeResult:
     """(R, 3)-layout wrapper over shade_hit_soa (the modular engine's
-    calling convention); numerically identical — only repacks."""
+    calling convention); numerically identical — only repacks. Prunes
+    absent-material branches from the static Scene.mesh_mat_types."""
     res = shade_hit_soa(
         pack_materials(scene), scene.num_meshes, enabled, hit_valid,
         v3lib.from_rows(hit_point), v3lib.from_rows(hit_normal),
@@ -287,6 +335,7 @@ def shade_hit(
         v3lib.from_rows(origin), v3lib.from_rows(direction),
         v3lib.from_rows(throughput), v3lib.from_rows(light),
         rng, bounces, max_bounces,
+        present=mat_types_present(scene),
     )
     return ShadeResult(
         origin=v3lib.to_rows(res.origin),

@@ -69,6 +69,22 @@ def _pack_q_words(qlo, qhi):
     )
 
 
+def _bf16_dir(vals, up: bool) -> np.ndarray:
+    """Conservative bf16 rounding of f32 values: the returned uint16
+    (the f32's top half), reinterpreted as f32 with a zero low half, is
+    <= vals (up=False) or >= vals (up=True). Truncating the mantissa
+    moves toward zero; where that lands on the wrong side, step one
+    bf16 ulp away from zero (carry into the exponent is the correct
+    next-representable step for IEEE bit patterns)."""
+    f = np.atleast_1d(np.asarray(vals, np.float32))
+    u = f.view(np.uint32)
+    t = u & np.uint32(0xFFFF0000)
+    dec = t.view(np.float32)
+    need = (dec < f) if up else (dec > f)
+    t = np.where(need, t + np.uint32(0x10000), t)
+    return (t >> 16).astype(np.uint16)
+
+
 #: Unified megakernel row width (node rows use [0:7+3*MEGA_ARITY], leaf
 #: rows [0:19*MEGA_LEAF_TRIS]). The gather engine is row-count-bound and
 #: row-width-FREE up to 160 f32 (notes/tpu_measurements.md), so rows are
@@ -88,7 +104,8 @@ MEGA_SLOT_BITS = 6
 MEGA_STATIC_MAX_TRIS = 64
 
 
-def _emit_mega_subtree(rows, nodes, root, tri_pos, tri_nrm, tri_mesh):
+def _emit_mega_subtree(rows, nodes, root, tri_pos, tri_nrm, tri_mesh,
+                       bounds_fmt: str = "u8"):
     """Emit a BVH2 subtree as MEGA_ARITY-wide megakernel rows.
 
     The TPU gather engine is row-granular (~110-207M rows/s regardless
@@ -106,6 +123,17 @@ def _emit_mega_subtree(rows, nodes, root, tri_pos, tri_nrm, tri_mesh):
         w1 = qhi.y | qhi.z<<8
         w2 = bitcast i32 meta: target_row<<1 | is_leaf; meta 0 AND
              qlo>qhi marks an empty slot (self-missing box).
+    Node row, ``bounds_fmt == "bf16"`` (config.MEGA_BF16_BOUNDS):
+      [0:6] unused, [6] bitcast i32 sort axis, then MEGA_ARITY child
+      slots x 4 words at base 7+4*s — absolute bf16 child bounds,
+      conservatively rounded (_bf16_dir), packed two-per-word as the
+      f32 TOP halves (decode = shift/mask + bitcast, no FMA):
+        w0 = bf16(lo.x) | bf16(lo.y)<<16
+        w1 = bf16(lo.z) | bf16(hi.x)<<16
+        w2 = bf16(hi.y) | bf16(hi.z)<<16
+        w3 = bitcast i32 meta (as u8); empty slot: lo=+MAX > hi=-MAX.
+      Tighter than u8-on-node-grid (relative 2^-8 error instead of
+      1/255 of the PARENT extent), so fewer false descends.
     Leaf row: MEGA_LEAF_TRIS x 19 floats (pa pb pc na nb nc + owner
     mesh aux), exact f32; unused slots are zero triangles (MT det==0
     rejects them).
@@ -209,6 +237,33 @@ def _emit_mega_subtree(rows, nodes, root, tri_pos, tri_nrm, tri_mesh):
         axis = int(np.argmax(hi - lo))
         slots.sort(key=lambda j: float(bmin[j][axis] + bmax[j][axis]))
         row[6] = np.array(axis, np.int32).view(np.float32)
+
+        if bounds_fmt == "bf16":
+            u16f = lambda a, b: np.array(
+                np.uint32(a) | (np.uint32(b) << np.uint32(16)), np.uint32
+            ).view(np.float32)
+            depth = 0
+            for s_idx, j in enumerate(slots):
+                target, is_leaf, d = emit_node(j)
+                depth = max(depth, d)
+                lo16 = _bf16_dir(np.asarray(bmin[j], np.float32), up=False)
+                hi16 = _bf16_dir(np.asarray(bmax[j], np.float32), up=True)
+                base = 7 + 4 * s_idx
+                row[base] = u16f(lo16[0], lo16[1])
+                row[base + 1] = u16f(lo16[2], hi16[0])
+                row[base + 2] = u16f(hi16[1], hi16[2])
+                row[base + 3] = i32f((target << 1) | (1 if is_leaf else 0))
+            big, neg = np.uint16(0x7F7F), np.uint16(0xFF7F)
+            for s_idx in range(len(slots), MEGA_ARITY):
+                base = 7 + 4 * s_idx
+                # empty slot: lo = +MAX > hi = -MAX never hits; meta 0
+                row[base] = u16f(big, big)
+                row[base + 1] = u16f(big, neg)
+                row[base + 2] = u16f(neg, neg)
+                row[base + 3] = 0.0
+            rows[my] = row
+            return my, False, depth + 1
+
         scale = (hi - lo) / 255.0
         origin32 = lo.astype(np.float32)
         scale32 = np.where(scale > 0, scale, 0.0).astype(np.float32)
@@ -566,6 +621,9 @@ class SceneBuilder:
         ).astype(np.float32)
 
         # --- megakernel arrays (see Scene.mega_rows) -------------------
+        from tpurt.config import MEGA_BF16_BOUNDS
+
+        bounds_fmt = "bf16" if MEGA_BF16_BOUNDS else "u8"
         mega_rows_list: List[np.ndarray] = []
         chain: List[Tuple[int, int, bool]] = []
         mega_depth = 0
@@ -656,7 +714,8 @@ class SceneBuilder:
                 s_nodes, s_pos, s_nrm, 0, len(s_pos), 64, leaf_cap=2, aux=s_mesh
             )
             root_row, root_leaf, d = _emit_mega_subtree(
-                mega_rows_list, s_nodes.as_arrays(), s_root, s_pos, s_nrm, s_mesh
+                mega_rows_list, s_nodes.as_arrays(), s_root, s_pos, s_nrm,
+                s_mesh, bounds_fmt=bounds_fmt,
             )
             chain.append((-1, root_row, root_leaf))
             mega_depth = max(mega_depth, d)
@@ -673,7 +732,7 @@ class SceneBuilder:
             else:
                 root_row, root_leaf, d = _emit_mega_subtree(
                     mega_rows_list, nodes_tuple, m.node_idx,
-                    tri_pos, tri_nrm, None,
+                    tri_pos, tri_nrm, None, bounds_fmt=bounds_fmt,
                 )
                 mega_depth = max(mega_depth, d)
                 emitted_roots[m.node_idx] = (root_row, root_leaf)
@@ -742,6 +801,7 @@ class SceneBuilder:
             mega_static_onesided=tuple(static_onesided),
             mega_static_owner=tuple(static_owner),
             mesh_tri_ranges=tuple((m.first_tri, m.num_tris) for m in self.meshes),
+            mega_bounds_fmt=bounds_fmt,
             mesh_mat_types=tuple(int(m.material.type) for m in self.meshes),
             mesh_identity=tuple(
                 tuple(np.asarray(m.pos, np.float64).tolist()) == (0.0, 0.0, 0.0)

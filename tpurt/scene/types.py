@@ -173,6 +173,12 @@ class Scene:
     #: leaves untransformed, readobj.hpp:393). The intersector fuses all
     #: identity small meshes into one world-space brute-force sweep.
     mesh_identity: Tuple[bool, ...] = struct.field(pytree_node=False, default=())
+    #: Node-row child-bounds encoding of mega_rows: "u8" (uint8 on a
+    #: per-node grid, 3 words/slot at stride 3) or "bf16" (absolute
+    #: conservative bf16, 4 words/slot at stride 4) — see
+    #: builder._emit_mega_subtree. Static: selects the decode the
+    #: megakernel's node branch compiles.
+    mega_bounds_fmt: str = struct.field(pytree_node=False, default="u8")
 
     @property
     def num_triangles(self) -> int:
