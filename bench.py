@@ -344,18 +344,25 @@ def main():
     # in-iteration retire->shade->re-enter passes cut the iteration
     # count superlinearly (probes r30-r32: 47 -> 76 Mrays/s; tail4 and
     # unroll4 combos regress — the body spills).
+    # compaction_threshold=0 (PLAIN batches): with root expansion +
+    # tail_passes=3 the whole batch retires inside ~72 heavy iterations
+    # and the staged/cascade machinery is net-negative (probe_r37 clean
+    # box: plain 89.1 vs staged ~79) — the ladder rows run plain; the
+    # bunny-1080p-bvh row keeps the staged schedule as the measured A/B.
     common = dict(tile_size=args.tile_size, seed_mode="reference",
                   pixels_per_lane=8, mega_interleave=4,
-                  mega_tail_passes=3)
+                  mega_tail_passes=3, compaction_threshold=0)
+    staged = dict(common, compaction_threshold=32768)
 
     results = []
     if args.ladder:
-        # Config 1: CPU-oracle parity scene (small; parity is asserted in
-        # tests, here we time it).
+        # Config 1: CPU-oracle parity scene (BASELINE.json config 1:
+        # 640x480, 1 spp, direct lighting — parity itself is asserted
+        # in tests vs tests/oracle.py; here we time the config).
         results.append(run_config(
-            "parity-512", "sphere",
-            RenderConfig(width=512, height=512, rays_per_pixel=4,
-                         max_bounces=8, **common)))
+            "parity-640x480-1spp", "sphere",
+            RenderConfig(width=640, height=480, rays_per_pixel=1,
+                         max_bounces=1, **common)))
         # Config 2: low-poly brute force, 720p — the speed-of-light dense
         # path (BASELINE config 2). mega_dense: persistent lanes whose
         # per-iteration "traversal" is one fused Plücker MXU sweep
@@ -377,17 +384,25 @@ def main():
             "teapot-720p-mega", "teapot",
             RenderConfig(width=1280, height=720, rays_per_pixel=args.spp,
                          max_bounces=4, **common)))
-        # Config 4: Cornell 256 spp accumulation at lower res.
+        # Config 4: Cornell box + mesh, 4 bounces, 256 spp at 1080p
+        # (BASELINE.json config 4 verbatim — stochastic accumulation
+        # throughput; ~530M camera samples, ~1.2G path segments/frame).
         results.append(run_config(
-            "cornell-256spp", "sphere",
-            RenderConfig(width=512, height=512, rays_per_pixel=256,
+            "cornell-256spp-1080p", "sphere",
+            RenderConfig(width=1920, height=1080, rays_per_pixel=256,
                          max_bounces=4, **common)))
         # Config 5: 4K animated camera sweep + sharding efficiency
         # (efficiency measured when >1 real device is visible).
+        # pixels_per_lane=16 at 4K/spp4: doubles per-lane work (P x spp
+        # 32 -> 64, the amortisation currency of probe_r25) and halves
+        # the launches per 8.3M-pixel frame — measured 47.6 -> 57.4
+        # Mrays/s (probe_r39; P=32 exceeds the 16 MB scoped-VMEM
+        # ceiling: +96 banked-accumulator leaves).
         results.append(run_config_anim(
             "4k-anim-sweep", "bunny",
             RenderConfig(width=3840, height=2160, rays_per_pixel=4,
-                         max_bounces=4, **common)))
+                         max_bounces=4,
+                         **{**common, "pixels_per_lane": 16})))
         results.append(run_sharding_efficiency(
             RenderConfig(width=1920, height=1080, rays_per_pixel=args.spp,
                          max_bounces=4, **common)))
@@ -406,7 +421,7 @@ def main():
     headline = run_config(
         "bunny-1080p-plain", "bunny",
         RenderConfig(width=1920, height=1080, rays_per_pixel=args.spp,
-                     max_bounces=4, **dict(common, compaction_threshold=0)))
+                     max_bounces=4, **common))
     print(json.dumps({
         "metric": "Mrays/sec/chip bunny-class 1080p BVH path trace",
         "value": round(headline["mrays"], 2),
@@ -415,13 +430,13 @@ def main():
         "provisional": True,
     }), flush=True)
     results.append(headline)
-    staged = run_config(
+    staged_row = run_config(
         "bunny-1080p-bvh", "bunny",
         RenderConfig(width=1920, height=1080, rays_per_pixel=args.spp,
-                     max_bounces=4, **common))
-    if staged["mrays"] > headline["mrays"]:
-        headline = staged
-    results.append(staged)
+                     max_bounces=4, **staged))
+    if staged_row["mrays"] > headline["mrays"]:
+        headline = staged_row
+    results.append(staged_row)
 
     ts = time.time()
     platform = jax.devices()[0].platform
