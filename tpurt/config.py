@@ -129,6 +129,12 @@ MEGA_MAT_PRUNE = False
 #: the Scene at freeze (Scene.mega_bounds_fmt).
 MEGA_BF16_BOUNDS = False
 
+#: PROBE-ONLY: replace the per-iteration row gather with a broadcast of
+#: row 0 (same shape, no gather engine). Renders garbage — exists so
+#: dual-cap marginal probes can price the gather inside the REAL engine
+#: schedule (gather-vs-body overlap attribution, scripts/probe_r46.py).
+MEGA_FAKE_GATHER = False
+
 
 @dataclasses.dataclass(frozen=True)
 class RenderConfig:

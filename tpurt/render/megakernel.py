@@ -1668,6 +1668,14 @@ def run_megakernel(
         if not e_count or dense:
             return None  # dense mode sweeps; there is no row bank walk
         trav = ~s.done & (s.entry < e_count) & (s.cur >= 0)
+        if _config_mod().MEGA_FAKE_GATHER:
+            # Probe-only: constant rows, gather engine out of the loop
+            # (plus a token data dependency on s so the broadcast cannot
+            # be hoisted out of the while_loop).
+            tok = (s.cur[:1] & 0).astype(rows_t.dtype)
+            return jnp.broadcast_to(
+                rows_t[:, :1] + tok[None, :], (rows_t.shape[0], trav.shape[0])
+            )
         idx = jnp.where(trav, s.cur, 0)
         # Gather along the minor axis of the PRE-transposed bank: the
         # (W, R) layout keeps each column a contiguous (R,) lane
