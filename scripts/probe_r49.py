@@ -48,7 +48,10 @@ def main():
     vm = {"memory_space": pltpu.VMEM}
     key = jax.random.PRNGKey(0)
 
-    def bench(label, fn, args, reps=20):
+    def bench(label, fn, args, reps=20, steps=1):
+        # ``steps``: dependent gathers per call (the dg_chain leg), so
+        # ns/row stays comparable per GATHER across legs against the
+        # 3.9 ns/row XLA threshold in the docstring.
         try:
             f = jax.jit(fn)
             out = f(*args)
@@ -66,7 +69,7 @@ def main():
             jax.tree_util.tree_map(lambda a: a.block_until_ready(), out)
             ts.append(time.perf_counter() - t0)
         best = min(ts)
-        ns_row = best / R * 1e9
+        ns_row = best / (R * steps) * 1e9
         print(f"[{label}] {best*1e6:.0f} us for {R} rows -> "
               f"{ns_row:.2f} ns/row", flush=True)
         return best
@@ -108,7 +111,7 @@ def main():
         (1024, 64, 2, "dg_chain N=1024 W=64 2-step"),
     ):
         call, args = make_dg_lane(N, W, steps)
-        bench(label, call, args)
+        bench(label, call, args, steps=steps)
 
     # ---------------- dg_sub: sublane-axis jnp.take ----------------
     def make_dg_sub(N, W):

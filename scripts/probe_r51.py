@@ -94,7 +94,12 @@ def main():
     _, fa = timeit("anchor (shipped)", anchor, (*lo, *ld, lane_entry))
 
     # ---------------- restructured variants ---------------------------
-    eps = np.float32(1e-8)
+    # Shipped-kernel epsilon (tpurt.config.EPSILON): the probe's
+    # accept tests must match plucker_fused._sweep_kernel exactly
+    # or the full-vs-shipped diff legs confound eps-window accepts
+    # with dot accumulation-order flips (advisor round-3 finding).
+    from tpurt.config import EPSILON
+    eps = np.float32(EPSILON)
 
     def make_variant(kpad, fuse_dot):
         cs = coeffs[:, :kpad, :]                      # (4, kpad, TPAD)
@@ -177,6 +182,16 @@ def main():
                 jax.ShapeDtypeStruct((R, 1), jnp.float32),
                 jax.ShapeDtypeStruct((R, 1), jnp.int32),
             ],
+            # HAZARD (advisor round-3): this aliases the running (t,col)
+            # fold through input_output_aliases, with blocks written at
+            # grid step (j,i) re-read as input at (j+1,i) ~512 steps
+            # later. Pallas does NOT order an aliased output DMA against
+            # a later grid step's input prefetch — it happens to work at
+            # this separation but is undefined-by-contract, and is a
+            # candidate cause of this probe's observed lane mismatches.
+            # Do NOT promote this structure into a shipped kernel;
+            # prefer a VMEM scratch accumulator with tris innermost (as
+            # plucker_fused does).
             input_output_aliases={7: 0, 8: 1},
         )
 

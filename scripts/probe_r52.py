@@ -42,7 +42,12 @@ def main():
     cull = jnp.zeros((1, TPAD), jnp.float32)
     orient = jnp.ones((1, TPAD), jnp.float32)
     lane_entry = jnp.zeros((R,), jnp.int32)
-    eps = np.float32(1e-8)
+    # Shipped-kernel epsilon (tpurt.config.EPSILON): the probe's
+    # accept tests must match plucker_fused._sweep_kernel exactly
+    # or the full-vs-shipped diff legs confound eps-window accepts
+    # with dot accumulation-order flips (advisor round-3 finding).
+    from tpurt.config import EPSILON
+    eps = np.float32(EPSILON)
 
     def timeit(label, fn, args, reps=6):
         try:
