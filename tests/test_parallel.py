@@ -113,3 +113,23 @@ def test_graft_dryrun_multichip():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+@requires_8
+def test_sharding_efficiency_branch_runs():
+    """bench.run_sharding_efficiency's MEASURING branch (the >=2-device
+    code that must work first-try on a v5p-8, BASELINE.md:29) end to
+    end on the virtual mesh: the number is meaningless off-chip, but a
+    finite efficiency proves the plumbing — warmup, timed sharded
+    renders, the efficiency arithmetic."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+    import bench
+
+    cfg = RenderConfig(width=64, height=32, rays_per_pixel=2,
+                       max_bounces=2, rays_per_batch=1024,
+                       pixels_per_lane=2, tile_size=16)
+    row = bench.run_sharding_efficiency(cfg, repeats=1, force=True,
+                                        scene_kind="sphere")
+    assert row["devices"] == 8
+    assert np.isfinite(row["efficiency"]) and row["efficiency"] > 0

@@ -37,7 +37,10 @@ from tpurt.scene.types import MaterialType
 
 @pytest.mark.parametrize(
     "engine",
-    ["modular", pytest.param("mega", marks=pytest.mark.slow)],
+    # Both engines run in the DEFAULT suite: this 16x16 render is the
+    # one fast-gate bitwise-vs-oracle check of the flagship mega engine
+    # (~65 s of CPU compile; every other mega golden stays slow-marked).
+    ["modular", "mega"],
 )
 def test_cornell_sphere_bitwise(engine):
     cfg = RenderConfig(
