@@ -101,6 +101,14 @@ def main():
     timeit("rb1024 TC512", make(1024, 512), (feats, cfull))
     timeit("tlhs rb256", make(256, 1024, tlhs=True), (featsT, cfull))
 
+    # bf16 inputs, f32 accumulate (MXU native rate — the candidate fast
+    # sweep with exact-f32 winner rescue on the caller side).
+    fb = feats.astype(jnp.bfloat16)
+    cb = cfull.astype(jnp.bfloat16)
+    timeit("rb256 bf16", make(256, 1024), (fb, cb))
+    timeit("rb512 bf16", make(512, 1024), (fb, cb))
+    timeit("rb1024 bf16 TC512", make(1024, 512), (fb, cb))
+
     def xla_dot(fts, cf):
         acc = jnp.zeros((R, 1), jnp.float32)
         for j in range(4):
@@ -110,6 +118,7 @@ def main():
         return acc
 
     timeit("xla fused-chunk", xla_dot, (feats, cfull))
+    timeit("xla bf16", xla_dot, (fb, cb))
 
 
 if __name__ == "__main__":
