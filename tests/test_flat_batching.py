@@ -46,3 +46,63 @@ def test_flat_staged_compaction_near_bitwise():
     exact = (plain == staged).all(axis=-1)
     assert exact.mean() > 0.99, exact.mean()
     np.testing.assert_allclose(plain, staged, rtol=1e-5, atol=1e-7)
+
+
+def test_cross_frame_packing_bitwise():
+    """frames_per_batch packing: F frames in one launch must be
+    BITWISE what rendering each frame separately produces — per-pixel
+    trajectories are pure functions of (pixel, frame, sample); packing
+    only changes which lane runs them (megakernel frames_per_batch)."""
+    from tpurt.core.camera import Camera
+    from tpurt.render.renderer import (
+        _flat_batch_size, render_batch_flat, render_batch_flat_frames,
+    )
+
+    cfg = _cfg(rays_per_batch=256, pixels_per_lane=2,
+               compaction_threshold=0, rays_per_pixel=2, max_bounces=4)
+    scene, cam0, _ = default_scene(cfg)
+    # Rotation-only second camera (shared position: packing contract).
+    cam1 = Camera.create(
+        position=tuple(np.asarray(cam0.position)),
+        pitch=float(cam0.pitch), yaw=float(cam0.yaw) + 0.15,
+        roll=float(cam0.roll), fov_degrees=cfg.fov_degrees,
+        aspect_ratio=cfg.aspect_ratio,
+    )
+    b = _flat_batch_size(cfg)
+    rows = b * cfg.pixels_per_lane
+    total = cfg.width * cfg.height
+    for start in (0, rows):
+        packed, segs_p, _ = render_batch_flat_frames(
+            scene, (cam0, cam1), cfg, start, frame_index=3)
+        packed = np.asarray(packed)
+        segs = 0.0
+        for f, cam in enumerate((cam0, cam1)):
+            single, s1, _ = render_batch_flat(
+                scene, cam, cfg, start, frame_index=3 + f)
+            np.testing.assert_array_equal(
+                packed[f * rows:(f + 1) * rows], np.asarray(single),
+                err_msg=f"frame {f} start {start}")
+            segs += float(s1)
+        assert segs == float(segs_p)
+    assert rows < total  # the loop really covered two distinct regions
+
+
+def test_cross_frame_packing_static_camera():
+    """cameras=None-style pack (same camera, distinct frame indices) —
+    the progressive-accumulation shape the bench steady block uses."""
+    from tpurt.render.renderer import (
+        render_batch_flat, render_batch_flat_frames,
+    )
+
+    cfg = _cfg(rays_per_batch=256, pixels_per_lane=2,
+               compaction_threshold=0, rays_per_pixel=2, max_bounces=3)
+    scene, cam, _ = default_scene(cfg)
+    rows = 256 * cfg.pixels_per_lane
+    packed, _, _ = render_batch_flat_frames(
+        scene, (cam, cam, cam), cfg, 0, frame_index=0)
+    packed = np.asarray(packed)
+    for f in range(3):
+        single, _, _ = render_batch_flat(scene, cam, cfg, 0, frame_index=f)
+        np.testing.assert_array_equal(
+            packed[f * rows:(f + 1) * rows], np.asarray(single),
+            err_msg=f"frame {f}")

@@ -103,6 +103,13 @@ MEGA_EXPAND_PASSES = 99
 #: pressure; read at trace time so probes can sweep it.
 MEGA_BLOCK_LANES = 4096
 
+#: Inline exact triangles per megakernel leaf row (builder default 8 at
+#: bank width 160; 16 widens the bank to 320 f32 — measured ~free per
+#: row at 262k lanes, notes r8 — and halves leaf-row traversal steps at
+#: the cost of a bigger in-kernel leaf MT block). Read at scene FREEZE;
+#: the kernel follows the scene's layout (Scene.mega_leaf_tris).
+MEGA_LEAF_TRIS = 8
+
 #: Mosaic vmem_limit_bytes for the fused body (0 = compiler default,
 #: 16 MB scoped). v5e VMEM is far larger than the default scoped
 #: limit; raising it gives the register allocator room instead of
@@ -275,6 +282,18 @@ class RenderConfig:
     #: paths are replay/pretest-fail-heavy (thin geometry, high spp)
     #: invert the tradeoff.
     mega_tail_passes: int = 1
+
+    #: Cross-frame lane packing: multi-frame drivers (bench steady
+    #: blocks, animation sweeps) may pack this many FRAMES into one
+    #: megakernel launch — quota slots span frames, so one frame's
+    #: straggler tail shares loop iterations with the next frame's
+    #: ramp and straggler variance averages over frames*pixels_per_lane
+    #: pixels per lane. Bitwise-identical to frame-by-frame dispatch
+    #: (trajectories are pure functions of (pixel, frame, sample);
+    #: tests/test_flat_batching.py). Single-frame APIs (render_frame,
+    #: one-frame latency) ignore it. Plain schedule, in-lane samples,
+    #: shared camera position only (megakernel.run_megakernel).
+    mega_frames_per_batch: int = 1
 
     #: Gather/body ordering inside one interleaved loop iteration
     #: (only meaningful when mega_interleave > 1 takes effect):

@@ -715,8 +715,22 @@ def _body_math(
     width: int = 0,
     height: int = 0,
     tail_passes: int = 1,
+    frames_per_batch: int = 1,  # quota slots span this many FRAMES:
+    #   slot k belongs to frame k // (p_count // frames_per_batch); the
+    #   per-slot frame offset enters the seed so packed frames are
+    #   bitwise-identical to rendering them separately (cross-frame
+    #   lane packing — the idle decay tail and launch ramp amortise
+    #   over the whole pack)
+    slot_rd_map: tuple = None,  # static maps: slot index k (1..P-1) ->
+    slot_pix_map: tuple = None,  # table index in slot_rays.rd / .pix.
+    #   Cross-frame packs share PERIODIC tables (slot k's pixel — and,
+    #   static-camera, its direction — equals slot k mod P/frames'), so
+    #   the VMEM operand count stays ~one frame's worth regardless of
+    #   how many frames pack. None = identity (k -> k-1).
     mat_present: tuple = None,  # static material-type set (branch pruning)
     bounds_fmt: str = "u8",  # node-row child-bounds encoding (static)
+    leaf_tris: int = 8,  # inline triangles per leaf row (static; must
+    #   match the scene's bank layout, Scene.mega_leaf_tris)
     dense_hit=None,  # (t, normal V3, backface, mesh) from the fused
     #   dense sweep — replaces the BVH walk when set (dense mode)
 ) -> _Lane:
@@ -732,11 +746,12 @@ def _body_math(
     falses = _bool_full(lanes, False)
     empty_slot = jnp.full(lanes, _EMPTY, jnp.uint32)
 
-    def seed_for(p_pix, sample_id):
+    def seed_for(p_pix, sample_id, f_off=None):
+        fi = frame_index if f_off is None else frame_index + f_off
         if seed_mode == "reference":
-            return rnglib.make_seed(p_pix, frame_index, 0)
+            return rnglib.make_seed(p_pix, fi, 0)
         return rnglib.make_seed(
-            p_pix, frame_index, sample_id + jnp.uint32(sample_offset)
+            p_pix, fi, sample_id + jnp.uint32(sample_offset)
         )
 
     # ---------------- TRAVERSE: consume the gathered row --------------
@@ -799,7 +814,7 @@ def _body_math(
         is_static = entry_mesh < 0
         cull_mesh_e = _sel(params.table, entry_c, e_count, _CP_CULL) != 0.0
         lt, lnrm, lback, lmesh = s.lt, s.lnrm, s.lback, s.lmesh
-        for k in range(MEGA_LEAF_TRIS):
+        for k in range(leaf_tris):
             aux_raw = lax.bitcast_convert_type(col(19 * k + 18), jnp.int32)
             cull = _bsel(
                 is_static, _static_cull(mats, num_meshes, aux_raw),
@@ -1072,14 +1087,17 @@ def _body_math(
             )
             pixno = t.pixno + advance.astype(jnp.int32)
             if slot_rays.pix:
-                # List mode: the next pixel comes from the per-slot
-                # tables (pixel_list[lane0 + k*stride], precomputed
-                # loop-invariant like the slot directions). Static
-                # select chain over slots; advance implies pixno >= 1.
-                adv_pix = slot_rays.pix[0]
+                # Table mode (list batches and cross-frame packs): the
+                # next pixel comes from per-slot tables, precomputed
+                # loop-invariant like the slot directions. Static
+                # select chain over slots (advance implies pixno >= 1),
+                # indirected through the static slot->table map so
+                # periodic packs reuse one frame's tables.
+                pm = slot_pix_map or (0,) + tuple(range(p_count - 1))
+                adv_pix = slot_rays.pix[pm[1]]
                 for k in range(2, p_count):
                     adv_pix = jnp.where(
-                        pixno == k, slot_rays.pix[k - 1], adv_pix
+                        pixno == k, slot_rays.pix[pm[k]], adv_pix
                     )
             else:
                 # Signed arithmetic on purpose: Mosaic cannot lower u32
@@ -1108,22 +1126,34 @@ def _body_math(
             # in-body is NOT bit-stable, XLA fuses the uv arithmetic
             # differently inside the loop). Static chain over slots;
             # advance implies pixno >= 1. Origins never change (pinhole).
-            rd_n = slot_rays.rd[0]  # slot 1
+            rm = slot_rd_map or (0,) + tuple(range(p_count - 1))
+            rd_n = slot_rays.rd[rm[1]]  # slot 1
             for k in range(2, p_count):
-                rd_n = v3lib.where(pixno == k, slot_rays.rd[k - 1], rd_n)
+                rd_n = v3lib.where(pixno == k, slot_rays.rd[rm[k]], rd_n)
             ro0 = t.ro0
             rd0 = v3lib.where(advance, rd_n, t.rd0)
         else:
             ro0, rd0 = t.ro0, t.rd0
         ro_s, rd_s = primary_ray_fn(ro0, rd0, pix, sample_u)
         rng = res.rng
+        if frames_per_batch > 1:
+            # Cross-frame pack: the slot's FRAME OFFSET (a static
+            # function of the post-advance slot index) enters the seed.
+            # Static select chain, like the slot direction selects
+            # (Mosaic-safe: i32 compares + wheres, no division).
+            ppf = p_count // frames_per_batch
+            f_off = zeros_i
+            for k in range(ppf, p_count):
+                f_off = jnp.where(pixno == k, np.int32(k // ppf), f_off)
+        else:
+            f_off = None
         if seed_mode != "reference":
-            rng = jnp.where(new_sample, seed_for(pix, sample_u), rng)
+            rng = jnp.where(new_sample, seed_for(pix, sample_u, f_off), rng)
         elif p_count > 1:
             # Reference seed mode draws one seed per PIXEL (the stream then
             # runs across its samples, Trace.cl:632-641) — re-seed on
             # advance only.
-            rng = jnp.where(advance, seed_for(pix, sample_u), rng)
+            rng = jnp.where(advance, seed_for(pix, sample_u, f_off), rng)
 
         origin = v3lib.where(new_sample, ro_s, res.origin)
         direction = v3lib.where(new_sample, rd_s, res.direction)
@@ -1320,6 +1350,8 @@ def run_megakernel(
     schedule: str = "inline",
     dense: bool = False,
     pixel_list=None,
+    frames_per_batch: int = 1,
+    cameras=None,
 ):
     """Returns (mean radiance (R*pixels_per_lane, 3), total path
     segments (scalar f32), iterations) — or the raw lane state when
@@ -1366,6 +1398,23 @@ def run_megakernel(
     same positional layout as the affine flat path. Requires
     pixels_per_lane > 1 handling only when quota > 1; with quota 1 the
     list is ignored (callers trace pixel_index directly).
+
+    ``frames_per_batch`` > 1 packs that many FRAMES into one launch
+    (cross-frame lane packing): quota slot k covers frame
+    k // (P/frames) at pixel pix + (k mod P/frames)*stride, with the
+    slot's frame offset entering the seed and its primary direction
+    coming from ``cameras[frame]`` (``cameras`` is a per-frame Camera
+    tuple; None = one static camera for every packed frame, the
+    progressive-accumulation shape). Radiance rows for frame f are
+    [f*(P/frames)*R, (f+1)*(P/frames)*R) — each frame bitwise-identical
+    to rendering it alone (trajectories are pure functions of
+    (pixel, frame, sample); packing only changes which lane runs them).
+    One frame's straggler tail overlaps the next frame's ramp, so the
+    per-frame iteration count drops toward the per-lane mean work.
+    Incompatible with subpixel_jitter and pixel_list. Per-frame cameras
+    must share one POSITION (slot advance re-selects the primary
+    direction only; origins are not slotted) — rotation/fov animation
+    packs, dolly moves do not (drivers check and fall back).
     """
     if not isinstance(ro0, V3):
         ro0 = v3lib.from_rows(ro0)
@@ -1373,6 +1422,18 @@ def run_megakernel(
         rd0 = v3lib.from_rows(rd0)
     r = ro0.x.shape[0]
     p_count = int(pixels_per_lane)
+    frames_per_batch = max(1, int(frames_per_batch))
+    if frames_per_batch > 1:
+        assert p_count % frames_per_batch == 0, (
+            "pixels_per_lane must split evenly over frames_per_batch")
+        assert not subpixel_jitter and pixel_list is None, (
+            "cross-frame packing: jitter/list mode unsupported")
+        assert cameras is None or len(cameras) == frames_per_batch
+        # share_rd's frame-start direction table reuses the ENTRY rd0
+        # array verbatim (bit-stability); a compacted resume's rd0 is
+        # mid-quota, so packing runs fresh plain batches only.
+        assert initial_state is None, (
+            "cross-frame packing: compacted resume unsupported")
     if max_bounces <= 0 and not return_state:
         return (
             jnp.zeros((r * p_count, 3), _F32), jnp.float32(0.0),
@@ -1501,29 +1562,68 @@ def run_megakernel(
         from tpurt.core.camera import make_ray as _mk, pixel_uv as _puv
 
         stride = r if pixel_stride is None else int(pixel_stride)
-        slot_list = []  # directions for slots 1..P-1 (slot 0 = entry rd0)
-        slot_pix = []  # pixel ids for slots 1..P-1 (list mode only)
+        ppf = p_count // frames_per_batch  # pixels per lane per frame
+        share_rd = frames_per_batch > 1 and cameras is None
+        rd_tabs = []  # UNIQUE direction tables (V3)
+        pix_tabs = []  # UNIQUE pixel-id tables ((R,) u32)
+        rd_map = [0] * p_count  # slot k -> rd_tabs index (k >= 1)
+        pix_map = [0] * p_count
         if list_mode:
             l0 = lane.lane0  # initial_state already replaced lane
             n_list = pixel_list.shape[0]
         pi0 = pixel_index.astype(jnp.int32)
-        for k in range(1, p_count):
-            if list_mode:
-                pk = pixel_list[jnp.minimum(
-                    l0 + np.int32(k * stride), np.int32(n_list - 1)
-                )].astype(jnp.int32)
-                slot_pix.append(pk.astype(jnp.uint32))
-            else:
-                pk = jnp.minimum(
-                    pi0 + np.int32(k * stride), np.int32(width * height - 1)
-                )
+
+        def _slot_pixel(kk):  # within-frame slot kk's pixel, i32
+            return jnp.minimum(
+                pi0 + np.int32(kk * stride), np.int32(width * height - 1)
+            )
+
+        def _slot_rd(pk, cam_k):
             xs_k = pk % jnp.int32(width)
             ys_k = pk // jnp.int32(width)
-            _ro_k, rd_k = _mk(camera, _puv(xs_k, ys_k, width, height))
-            slot_list.append(v3lib.from_rows(rd_k))
-        slot_rays = _Slots(tuple(slot_list), tuple(slot_pix))
+            _ro_k, rd_k = _mk(cam_k, _puv(xs_k, ys_k, width, height))
+            return v3lib.from_rows(rd_k)
+
+        if frames_per_batch > 1:
+            # Cross-frame pack: pixel tables are PERIODIC (slot k's
+            # pixel == slot k mod ppf's), so only one frame's worth of
+            # tables ride as operands; with a static camera the
+            # direction tables share the same way (frame-start slots
+            # reuse the lane's entry direction). Keeps the Mosaic
+            # body's VMEM operand footprint ~independent of the pack
+            # depth.
+            for kk in range(ppf):
+                pix_tabs.append(_slot_pixel(kk).astype(jnp.uint32))
+            if share_rd:
+                rd_tabs.append(rd0)  # entry direction (frame-start)
+                for kk in range(1, ppf):
+                    rd_tabs.append(_slot_rd(_slot_pixel(kk), camera))
+            for k in range(1, p_count):
+                pix_map[k] = k % ppf
+                if share_rd:
+                    rd_map[k] = k % ppf
+                else:
+                    rd_tabs.append(_slot_rd(
+                        _slot_pixel(k % ppf), cameras[k // ppf]
+                    ))
+                    rd_map[k] = len(rd_tabs) - 1
+        else:
+            for k in range(1, p_count):
+                if list_mode:
+                    pk = pixel_list[jnp.minimum(
+                        l0 + np.int32(k * stride), np.int32(n_list - 1)
+                    )].astype(jnp.int32)
+                    pix_tabs.append(pk.astype(jnp.uint32))
+                    pix_map[k] = len(pix_tabs) - 1
+                else:
+                    pk = _slot_pixel(k)  # affine advance; no pix table
+                rd_tabs.append(_slot_rd(pk, camera))
+                rd_map[k] = len(rd_tabs) - 1
+        slot_rays = _Slots(tuple(rd_tabs), tuple(pix_tabs))
+        slot_rd_map, slot_pix_map = tuple(rd_map), tuple(pix_map)
     else:
         slot_rays = _Slots((), ())
+        slot_rd_map = slot_pix_map = None
     # lane0 is loop-invariant and never read in the body — keep it out
     # of the while_loop carry (it would stream through HBM every
     # iteration) and reattach on exit for the staged driver's
@@ -1541,11 +1641,14 @@ def run_megakernel(
         pixel_stride=r if pixel_stride is None else int(pixel_stride),
         width=width, height=height,
         tail_passes=max(1, int(tail_passes)),
+        frames_per_batch=frames_per_batch,
+        slot_rd_map=slot_rd_map, slot_pix_map=slot_pix_map,
         mat_present=(
             _shading.mat_types_present(scene)
             if _config_mod().MEGA_MAT_PRUNE else None
         ),
         bounds_fmt=scene.mega_bounds_fmt,
+        leaf_tris=int(getattr(scene, "mega_leaf_tris", 8)),
     )
 
     dense = bool(dense) and e_count > 0

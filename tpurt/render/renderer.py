@@ -997,6 +997,72 @@ def _mega_flat_start(scene, camera, coords, *, batch, pixels_per_lane=1,
     return state, jnp.sum(~state.done)
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "batch", "width", "height", "rays_per_pixel", "max_bounces",
+    "seed_mode", "invisible_budget", "subpixel_jitter", "body_backend",
+    "pixels_per_lane", "interleave", "tail_passes", "schedule", "dense",
+    "frames_per_batch",
+), keep_unused=True)
+def _mega_flat_multi(scene, cameras, coords, *, batch, pixels_per_lane=1,
+                     frames_per_batch=1, **statics):
+    from tpurt.render.megakernel import run_megakernel
+
+    width, height = statics["width"], statics["height"]
+    xs, ys, pix = _flat_coords(coords, batch, width, height)
+    uv = pixel_uv(xs, ys, width, height)
+    ro0, rd0 = make_ray(cameras[0], uv)
+    mean, segs, iters = run_megakernel(
+        scene, ro0, rd0, pix, coords[1],
+        sample_offset=coords[2], camera=cameras[0], cameras=cameras,
+        pixels_per_lane=pixels_per_lane * frames_per_batch,
+        frames_per_batch=frames_per_batch, **statics,
+    )
+    return mean, segs, iters
+
+
+def render_batch_flat_frames(
+    scene: Scene,
+    cameras,
+    cfg: RenderConfig,
+    start: int,
+    frame_index: int = 0,
+    sample_offset: int = 0,
+):
+    """Cross-frame packed flat batch: len(cameras) FRAMES of pixels
+    [start, start + B*pixels_per_lane) rendered in ONE launch, frame f
+    under cameras[f] with frame index frame_index+f. Returns
+    ((F*P*B, 3) radiance, segs, iters) where frame f's rows are
+    [f*P*B, (f+1)*P*B) — each bitwise what render_batch_flat would
+    produce for that frame alone (tests/test_flat_batching.py).
+
+    One frame's straggler tail shares iterations with the next frame's
+    ramp, so per-frame cost drops toward the per-lane mean (the
+    animation/progressive steady-state workload). Cameras must share a
+    position (megakernel docstring); plain schedule only (the staged
+    drivers don't pack)."""
+    f = len(cameras)
+    assert f >= 1
+    if f == 1:
+        m, s, it = render_batch_flat(scene, cameras[0], cfg, start,
+                                     frame_index, sample_offset)
+        return m, s, it
+    assert not (
+        cfg.compaction_threshold
+        and _flat_batch_size(cfg) >= cfg.compaction_threshold
+        and cfg.max_bounces > 0
+    ), "cross-frame packing runs the plain flat schedule only"
+    # Caller contract (NOT checked here — a device read per call would
+    # bill a ~25 ms tunnel RTT to every timed pack): cameras share one
+    # position. bench/anim construct packed cameras rotation-only.
+    b = _flat_batch_size(cfg)
+    statics = _mega_statics(cfg, cfg.width, cfg.height)
+    coords = jnp.asarray([start, frame_index, sample_offset], jnp.int32)
+    return _mega_flat_multi(
+        scene, tuple(cameras), coords, batch=b,
+        pixels_per_lane=cfg.pixels_per_lane, frames_per_batch=f, **statics
+    )
+
+
 def render_batch_flat(
     scene: Scene,
     camera: Camera,
@@ -1187,6 +1253,10 @@ def render_frame(
 _tonemap_dev = jax.jit(tonemap)
 _add_dev = jax.jit(lambda a, b: a + b)
 _div_dev = jax.jit(lambda a, g: a / g, static_argnames=("g",))
+#: Static on-device row slice (packed multi-frame outputs -> per-frame
+#: buffers without a host round-trip).
+_slice_dev = jax.jit(lambda a, start, size: a[start:start + size],
+                     static_argnames=("start", "size"))
 
 
 def _render_frame_flat_sflat(
