@@ -113,7 +113,7 @@ def time_render_flat(scene, cam, cfg, repeats=2, max_frames=8, strict=False):
     batch contents differ structurally — scripts/probe_r15.py), so the
     timed block replays fully-compiled executables only."""
     from tpurt.render.renderer import (
-        _add_dev, _div_dev, _flat_batch_size, _tonemap_dev,
+        _add_dev, _div_dev, _flat_batch_size, _slice_dev, _tonemap_dev,
         render_batch_flat,
     )
 
@@ -125,6 +125,11 @@ def time_render_flat(scene, cam, cfg, repeats=2, max_frames=8, strict=False):
     groups = spp if sflat else 1
     b = _flat_batch_size(cfg) * cfg.pixels_per_lane  # pixels per launch
     n_batches = -(-total // b)
+    # Cross-frame packing (steady blocks only; latency stays a true
+    # single frame). Plain schedule + in-lane samples only.
+    pack = max(1, int(getattr(cfg, "mega_frames_per_batch", 1)))
+    if sflat or cfg.compaction_threshold or cfg.max_bounces <= 0:
+        pack = 1
 
     def frame(f, collect=None):
         """Dispatch one frame; returns lazy (segs_dev, iters_dev)."""
@@ -145,6 +150,32 @@ def time_render_flat(scene, cam, cfg, repeats=2, max_frames=8, strict=False):
                 collect.append(_tonemap_dev(m))
         return seg_d, it_d
 
+    def frame_pack(f0, n_frames, collect=None):
+        """Dispatch ``n_frames`` frames (indices f0..f0+n_frames-1) as
+        cross-frame packed launches (megakernel frames_per_batch): one
+        frame's straggler tail shares loop iterations with the next
+        frame's ramp. Pixels are bitwise-identical to frame-by-frame
+        dispatch (tests/test_flat_batching.py)."""
+        from tpurt.render.renderer import render_batch_flat_frames
+
+        seg_d = it_d = None
+        cams = (cam,) * n_frames
+        outs = [[None] * n_batches for _ in range(n_frames)]
+        for i in range(n_batches):
+            m, s, it = render_batch_flat_frames(
+                scene, cams, cfg, i * b, frame_index=f0
+            )
+            seg_d = s if seg_d is None else _add_dev(seg_d, s)
+            if it is not None:
+                it_d = it if it_d is None else _add_dev(it_d, it)
+            for k in range(n_frames):
+                outs[k][i] = _slice_dev(m, k * b, b)
+        if collect is not None:
+            for k in range(n_frames):
+                for i in range(n_batches):
+                    collect.append(_tonemap_dev(outs[k][i]))
+        return seg_d, it_d
+
     # Warmup / compile: every batch, twice, display shipped. Also warms
     # the cross-frame accumulate ops the steady block chains with.
     for _ in range(2):
@@ -159,6 +190,15 @@ def time_render_flat(scene, cam, cfg, repeats=2, max_frames=8, strict=False):
             np.asarray(t)
         d2h_s = time.perf_counter() - warm_t0
         _ = int(np.asarray(shipped[0]).sum())
+    if pack > 1:  # warm the packed executable set too (both passes)
+        for _ in range(2):
+            shipped = []
+            seg_d, it_d = frame_pack(0, pack, collect=shipped)
+            _ = float(np.asarray(seg_d))
+            if it_d is not None:
+                _ = int(np.asarray(it_d))
+            for t in shipped:
+                np.asarray(t)
 
     # Single-frame latency (dispatch -> tonemapped frame on host).
     t0 = time.perf_counter()
@@ -176,13 +216,17 @@ def time_render_flat(scene, cam, cfg, repeats=2, max_frames=8, strict=False):
     # displayable uint8 frame is produced inside the timed region; only
     # its D2H — the harness tunnel's ~39 MB/s transport — stays out).
     frames = max(2, min(max_frames, int(3.0 / max(latency_s, 1e-3)) + 1))
+    frames = -(-frames // pack) * pack  # whole packs
     best = None
     for _ in range(repeats):
         t0 = time.perf_counter()
         seg_d = it_d = None
-        for f in range(frames):
+        for f in range(0, frames, pack):
             display = []
-            s, it = frame(f, collect=display)
+            if pack > 1:
+                s, it = frame_pack(f, pack, collect=display)
+            else:
+                s, it = frame(f, collect=display)
             seg_d = s if seg_d is None else _add_dev(seg_d, s)
             if it is not None:
                 it_d = it if it_d is None else _add_dev(it_d, it)
@@ -208,9 +252,12 @@ def time_render_flat(scene, cam, cfg, repeats=2, max_frames=8, strict=False):
         for _ in range(repeats):
             t0 = time.perf_counter()
             seg_d = None
-            for f in range(frames):
+            for f in range(0, frames, pack):
                 display = []
-                s, _ = frame(f, collect=display)
+                if pack > 1:
+                    s, _ = frame_pack(f, pack, collect=display)
+                else:
+                    s, _ = frame(f, collect=display)
                 seg_d = s if seg_d is None else _add_dev(seg_d, s)
                 for t in display:
                     np.asarray(t)
@@ -418,6 +465,9 @@ def main():
                          "inside the timed region)")
     ap.add_argument("--tile-size", type=int, default=256)
     ap.add_argument("--spp", type=int, default=8)
+    ap.add_argument("--tuned", action="store_true",
+                    help="apply the cached autotuner knob set for this "
+                         "platform (python -m tpurt.autotune)")
     ap.add_argument("--force-cpu-mesh", action="store_true",
                     help="run the sharding-efficiency measuring branch "
                          "on an 8-virtual-CPU mesh (plumbing check; the "
@@ -473,6 +523,28 @@ def main():
     common = dict(tile_size=args.tile_size, seed_mode="reference",
                   pixels_per_lane=8, mega_interleave=4,
                   mega_tail_passes=3, compaction_threshold=0)
+    if args.tuned:
+        # Platform-specific knob set from the autotuner cache (the
+        # defaults above are the measured v5e optimum; a v5p re-derives
+        # its own with `python -m tpurt.autotune`).
+        from tpurt import autotune
+
+        knobs = autotune.load_tuned()
+        if knobs:
+            log(f"tuned knobs: {knobs}")
+            import tpurt.config as _c
+
+            if "block_lanes" in knobs:
+                _c.MEGA_BLOCK_LANES = int(knobs["block_lanes"])
+            if "bounds_fmt" in knobs:
+                _c.MEGA_BF16_BOUNDS = knobs["bounds_fmt"] == "bf16"
+            for k in ("mega_tail_passes", "mega_interleave",
+                      "pixels_per_lane"):
+                if k in knobs:
+                    common[k] = int(knobs[k])
+        else:
+            log("no autotune cache for this platform — run "
+                "`python -m tpurt.autotune` first; using defaults")
     staged = dict(common, compaction_threshold=32768)
 
     results = []
@@ -537,10 +609,11 @@ def main():
                          max_bounces=4, **common)))
     elif args.force_cpu_mesh:
         # Plumbing-only invocation: tiny frame, the measuring branch
-        # end-to-end on the virtual mesh.
+        # end-to-end on the virtual mesh (same scale as the slow test
+        # in tests/test_parallel.py — CPU mega compiles dominate).
         results.append(run_sharding_efficiency(
-            RenderConfig(width=256, height=128, rays_per_pixel=2,
-                         max_bounces=2, rays_per_batch=4096,
+            RenderConfig(width=64, height=32, rays_per_pixel=2,
+                         max_bounces=2, rays_per_batch=1024,
                          **{**common, "pixels_per_lane": 2}),
             force=True, scene_kind="sphere"))
 

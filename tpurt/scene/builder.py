@@ -93,6 +93,21 @@ def _bf16_dir(vals, up: bool) -> np.ndarray:
 MEGA_ROW_WIDTH = 160
 #: Children per node row.
 MEGA_ARITY = 32
+
+
+def mega_row_width(leaf_tris: int) -> int:
+    """Bank row width for a leaf capacity: 19 f32 per inline triangle,
+    node rows need 7 + 4*MEGA_ARITY. Never 256 (a measured-pathological
+    gather tiling case, notes r8); 16-tri leaves round to 320 (measured
+    ~free at 262k lanes)."""
+    w = max(MEGA_ROW_WIDTH, 19 * leaf_tris, 7 + 4 * MEGA_ARITY)
+    if w > 160:
+        w = -(-w // 64) * 64
+        if w == 256:
+            w = 320
+    return w
+
+
 #: Inline exact triangles per leaf row.
 MEGA_LEAF_TRIS = 8
 #: Bits reserved for the resume-slot in packed stack entries
@@ -105,7 +120,8 @@ MEGA_STATIC_MAX_TRIS = 64
 
 
 def _emit_mega_subtree(rows, nodes, root, tri_pos, tri_nrm, tri_mesh,
-                       bounds_fmt: str = "u8"):
+                       bounds_fmt: str = "u8", leaf_tris: int = None,
+                       row_width: int = None):
     """Emit a BVH2 subtree as MEGA_ARITY-wide megakernel rows.
 
     The TPU gather engine is row-granular (~110-207M rows/s regardless
@@ -141,6 +157,8 @@ def _emit_mega_subtree(rows, nodes, root, tri_pos, tri_nrm, tri_mesh,
     Returns (root_row, root_is_leaf, depth) — depth is the maximum
     push depth a traversal of this subtree can need.
     """
+    leaf_tris = leaf_tris or MEGA_LEAF_TRIS
+    row_width = row_width or mega_row_width(leaf_tris)
     bmin, bmax, child, first, ntris = nodes
     i32f = lambda v: np.array(v, np.int32).view(np.float32)
 
@@ -174,9 +192,9 @@ def _emit_mega_subtree(rows, nodes, root, tri_pos, tri_nrm, tri_mesh,
 
     def emit_leaf(i):
         tris = subtree_tris(i)
-        assert 1 <= len(tris) <= MEGA_LEAF_TRIS, len(tris)
-        row = np.zeros(MEGA_ROW_WIDTH, np.float32)
-        for k in range(MEGA_LEAF_TRIS):
+        assert 1 <= len(tris) <= leaf_tris, len(tris)
+        row = np.zeros(row_width, np.float32)
+        for k in range(leaf_tris):
             base = 19 * k
             if k < len(tris):
                 t = tris[k]
@@ -209,7 +227,7 @@ def _emit_mega_subtree(rows, nodes, root, tri_pos, tri_nrm, tri_mesh,
         while len(slots) < MEGA_ARITY - 1:
             internals = [
                 j for j in slots
-                if ntris[j] == 0 and subtree_count(j) > MEGA_LEAF_TRIS
+                if ntris[j] == 0 and subtree_count(j) > leaf_tris
             ]
             if not internals:
                 break
@@ -220,12 +238,12 @@ def _emit_mega_subtree(rows, nodes, root, tri_pos, tri_nrm, tri_mesh,
         return slots
 
     def emit_node(i):
-        if ntris[i] > 0 or subtree_count(i) <= MEGA_LEAF_TRIS:
+        if ntris[i] > 0 or subtree_count(i) <= leaf_tris:
             return emit_leaf(i), True, 0
         slots = collect_slots(i)
         my = len(rows)
         rows.append(None)  # reserve position (pre-order)
-        row = np.zeros(MEGA_ROW_WIDTH, np.float32)
+        row = np.zeros(row_width, np.float32)
 
         lo = np.min([bmin[j] for j in slots], axis=0).astype(np.float64)
         hi = np.max([bmax[j] for j in slots], axis=0).astype(np.float64)
@@ -621,9 +639,12 @@ class SceneBuilder:
         ).astype(np.float32)
 
         # --- megakernel arrays (see Scene.mega_rows) -------------------
+        import tpurt.config as _cfgmod
         from tpurt.config import MEGA_BF16_BOUNDS
 
         bounds_fmt = "bf16" if MEGA_BF16_BOUNDS else "u8"
+        leaf_tris = int(getattr(_cfgmod, "MEGA_LEAF_TRIS", MEGA_LEAF_TRIS))
+        row_width = mega_row_width(leaf_tris)
         mega_rows_list: List[np.ndarray] = []
         chain: List[Tuple[int, int, bool]] = []
         mega_depth = 0
@@ -715,7 +736,8 @@ class SceneBuilder:
             )
             root_row, root_leaf, d = _emit_mega_subtree(
                 mega_rows_list, s_nodes.as_arrays(), s_root, s_pos, s_nrm,
-                s_mesh, bounds_fmt=bounds_fmt,
+                s_mesh, bounds_fmt=bounds_fmt, leaf_tris=leaf_tris,
+                row_width=row_width,
             )
             chain.append((-1, root_row, root_leaf))
             mega_depth = max(mega_depth, d)
@@ -733,6 +755,7 @@ class SceneBuilder:
                 root_row, root_leaf, d = _emit_mega_subtree(
                     mega_rows_list, nodes_tuple, m.node_idx,
                     tri_pos, tri_nrm, None, bounds_fmt=bounds_fmt,
+                    leaf_tris=leaf_tris, row_width=row_width,
                 )
                 mega_depth = max(mega_depth, d)
                 emitted_roots[m.node_idx] = (root_row, root_leaf)
@@ -742,7 +765,7 @@ class SceneBuilder:
         mega_rows = (
             np.stack(mega_rows_list)
             if mega_rows_list
-            else np.zeros((1, MEGA_ROW_WIDTH), np.float32)
+            else np.zeros((1, row_width), np.float32)
         )
         assert len(mega_rows) < (1 << 27), "row index exceeds packed meta field"
 
@@ -802,6 +825,7 @@ class SceneBuilder:
             mega_static_owner=tuple(static_owner),
             mesh_tri_ranges=tuple((m.first_tri, m.num_tris) for m in self.meshes),
             mega_bounds_fmt=bounds_fmt,
+            mega_leaf_tris=leaf_tris,
             mesh_mat_types=tuple(int(m.material.type) for m in self.meshes),
             mesh_identity=tuple(
                 tuple(np.asarray(m.pos, np.float64).tolist()) == (0.0, 0.0, 0.0)

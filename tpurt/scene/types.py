@@ -179,6 +179,10 @@ class Scene:
     #: builder._emit_mega_subtree. Static: selects the decode the
     #: megakernel's node branch compiles.
     mega_bounds_fmt: str = struct.field(pytree_node=False, default="u8")
+    #: Inline exact triangles per leaf row in mega_rows (builder
+    #: MEGA_LEAF_TRIS / config override; the kernel's leaf loop is
+    #: unrolled to this static count).
+    mega_leaf_tris: int = struct.field(pytree_node=False, default=8)
 
     @property
     def num_triangles(self) -> int:
