@@ -40,22 +40,49 @@ def main():
     flops = R * TPAD * 1024.0
 
     def timeit(label, fn, args, reps=6):
+        """Dual-rep marginal timing ending in host materialisation:
+        block_until_ready can return before work drains on axon, and a
+        scalar D2H costs a fixed ~25 ms tunnel RTT — so time an in-jit
+        chain of k calls (data-dependent, no reordering) at two k's and
+        report (t_hi - t_lo) / dk per call; sync and dispatch cancel."""
+
+        # fori_loop with a TRACED trip count: one executable serves both
+        # k's (chaining k separate pallas_calls re-invokes the remote
+        # Mosaic compile per instance — minutes each over the tunnel).
+        def run(k, f0, *rest):
+            def body(_, carry):
+                f0c, out = carry
+                # (R,1) broadcasts over the feature dim. The tiny
+                # non-zero factor keeps a REAL data dependency: out*0
+                # constant-folds and lets XLA CSE the whole chain into
+                # one call (observed: a ~zero marginal on one leg).
+                dep = (out * np.float32(1e-35)).astype(f0c.dtype)
+                nxt = fn(f0c + dep, *rest)
+                return f0c, nxt
+
+            out0 = jnp.zeros((f0.shape[0], 1), jnp.float32)
+            _, out = lax.fori_loop(0, k, body, (f0, out0))
+            return jnp.sum(out)
+
+        k_lo, k_hi = 3, 9
         try:
-            f = jax.jit(fn)
+            f = jax.jit(run)
             for _ in range(2):
-                out = f(*args)
-                jax.tree_util.tree_map(lambda a: a.block_until_ready(), out)
+                float(f(k_lo, *args))
+                float(f(k_hi, *args))
         except Exception as e:
             print(f"[{label}] FAILED: {str(e)[:160]}", flush=True)
             return
-        ts = []
+        best = None
         for _ in range(reps):
             t0 = time.perf_counter()
-            out = f(*args)
-            jax.tree_util.tree_map(lambda a: a.block_until_ready(), out)
-            ts.append(time.perf_counter() - t0)
-        best = min(ts)
-        print(f"[{label}] {best*1e3:.2f} ms -> {flops/best/1e12:.1f} TF/s",
+            float(f(k_lo, *args))
+            t1 = time.perf_counter()
+            float(f(k_hi, *args))
+            t2 = time.perf_counter()
+            d = ((t2 - t1) - (t1 - t0)) / (k_hi - k_lo)
+            best = d if best is None else min(best, d)
+        print(f"[{label}] {best*1e3:.2f} ms/call -> {flops/best/1e12:.1f} TF/s",
               flush=True)
 
     def make(rb, tc, tlhs=False):
