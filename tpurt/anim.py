@@ -120,25 +120,56 @@ def render_video(
         and not (cfg.sample_flatten and cfg.rays_per_pixel > 1)
     )
     if fast:
-        pending = None  # (frame_index, device buffers) awaiting delivery
+        pending = []  # [(frame_index, device buffers)] awaiting delivery
 
-        def deliver(item):
-            f, bufs = item
-            img = _materialise_frame_u8(bufs, cfg)
-            path = os.path.join(out_dir, f"output_{f}.bmp")
-            write_bmp(path, img)
-            paths.append(path)
-            if progress is not None:
-                progress(f + 1, n)
+        def deliver():
+            for f, bufs in pending:
+                img = _materialise_frame_u8(bufs, cfg)
+                path = os.path.join(out_dir, f"output_{f}.bmp")
+                write_bmp(path, img)
+                paths.append(path)
+                if progress is not None:
+                    progress(f + 1, n)
+            pending.clear()
 
-        for f in range(n):
+        # Cross-frame packing (cfg.mega_frames_per_batch): applies only
+        # when the hook leaves the scene UNCHANGED for the whole pack
+        # (progressive/noise-varying videos; the reference's mesh-yaw
+        # hook returns a new scene per frame, so it renders unpacked).
+        pack = max(1, int(getattr(cfg, "mega_frames_per_batch", 1)))
+        f = 0
+        while f < n:
             frame_scene = frame_hook(scene, f, n)
-            bufs = _dispatch_frame_u8(frame_scene, camera, cfg, f)
-            if pending is not None:
-                deliver(pending)
-            pending = (f, bufs)
-        if pending is not None:
-            deliver(pending)
+            k = 1
+            if pack > 1 and frame_scene is scene:
+                while (f + k < n and k < pack
+                       and frame_hook(scene, f + k, n) is scene):
+                    k += 1
+            if k > 1:
+                from tpurt.render.renderer import render_batch_flat_frames
+                from tpurt.render.renderer import (
+                    _flat_batch_size, _slice_dev, _tonemap_dev,
+                )
+
+                total = cfg.width * cfg.height
+                b = _flat_batch_size(cfg) * cfg.pixels_per_lane
+                packs = [[] for _ in range(k)]
+                for i in range(-(-total // b)):
+                    m, _, _ = render_batch_flat_frames(
+                        frame_scene, (camera,) * k, cfg, i * b,
+                        frame_index=f,
+                    )
+                    for j in range(k):
+                        packs[j].append(_tonemap_dev(
+                            _slice_dev(m, j * b, b)))
+                items = [(f + j, packs[j]) for j in range(k)]
+            else:
+                items = [(f, _dispatch_frame_u8(frame_scene, camera, cfg,
+                                                f))]
+            deliver()  # previous pack ships while this one renders
+            pending.extend(items)
+            f += k
+        deliver()
         return paths
     for f in range(n):
         frame_scene = frame_hook(scene, f, n)

@@ -86,6 +86,18 @@ def build_parser() -> argparse.ArgumentParser:
                    help="megakernel sub-batches per loop iteration (row "
                         "gathers overlap the previous sub-batch's compute; "
                         "bitwise-identical; default 2 on TPU, 1 elsewhere)")
+    p.add_argument("--tail-passes", type=int, default=None,
+                   help="segment-completion passes per megakernel loop "
+                        "iteration (bitwise-identical scheduling knob; "
+                        "default 3 on TPU, 1 elsewhere)")
+    p.add_argument("--frames-per-batch", type=int, default=1,
+                   help="cross-frame lane packing for --frames videos "
+                        "with a static-position camera: pack this many "
+                        "frames per megakernel launch (bitwise-identical "
+                        "to frame-by-frame)")
+    p.add_argument("--tuned", action="store_true",
+                   help="apply this platform's cached autotuner knob set "
+                        "(python -m tpurt.autotune)")
     p.add_argument("--mega-dense", action="store_true",
                    help="brute-force the megakernel: one fused Pluecker "
                         "MXU sweep per bounce segment instead of the BVH "
@@ -200,7 +212,22 @@ def main(argv=None) -> int:
             else (4 if _on_tpu_backend() else 1)
         ),
         mega_dense=args.mega_dense,
+        mega_tail_passes=(
+            args.tail_passes
+            if args.tail_passes is not None
+            else (3 if _on_tpu_backend() else 1)
+        ),
+        mega_frames_per_batch=max(1, args.frames_per_batch),
     )
+    if args.tuned:
+        from tpurt import autotune
+
+        knobs = autotune.load_tuned()
+        if knobs:
+            cfg = autotune.apply(knobs, cfg)
+        else:
+            print("no autotune cache for this platform; run "
+                  "`python -m tpurt.autotune` (using defaults)")
 
     from tpurt.scene.presets import default_scene
     from tpurt.scene.jsonscene import scene_from_json
