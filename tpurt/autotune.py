@@ -35,6 +35,7 @@ import numpy as np
 #: probe ledger). Values are candidates; the current best of every
 #: other axis is held while one axis sweeps.
 AXES = (
+    ("leaf_tris", (4, 5, 8, 16)),
     ("mega_tail_passes", (1, 2, 3, 4)),
     ("mega_interleave", (1, 2, 4, 8)),
     ("pixels_per_lane", (4, 8, 16)),
@@ -74,9 +75,11 @@ def apply(knobs: dict, cfg):
         _c.MEGA_BLOCK_LANES = int(knobs["block_lanes"])
     updates = {k: knobs[k] for k in _CFG_FIELDS if k in knobs}
     if "bounds_fmt" in knobs:
-        # Scene freeze reads the format (builder.py:624-626); the sweep
-        # re-freezes the scene per value.
+        # Scene freeze reads the format; the sweep re-freezes per value.
         _c.MEGA_BF16_BOUNDS = knobs["bounds_fmt"] == "bf16"
+    if "leaf_tris" in knobs:
+        # Freeze-time bank layout (leaf capacity + row width).
+        _c.MEGA_LEAF_TRIS = int(knobs["leaf_tris"])
     return cfg.replace(**updates) if updates else cfg
 
 
@@ -127,6 +130,7 @@ def sweep(cfg=None, scene_kind: str = "bunny", quick: bool = False,
         "pixels_per_lane": cfg.pixels_per_lane,
         "block_lanes": int(getattr(_c, "MEGA_BLOCK_LANES", 4096)),
         "bounds_fmt": "bf16" if getattr(_c, "MEGA_BF16_BOUNDS", False) else "u8",
+        "leaf_tris": int(getattr(_c, "MEGA_LEAF_TRIS", 5)),
     }
     scene, cam = _build(apply(best, cfg), scene_kind)
     t_best = _time_leg(scene, cam, apply(best, cfg))
@@ -141,7 +145,7 @@ def sweep(cfg=None, scene_kind: str = "bunny", quick: bool = False,
             try:
                 tcfg = apply(trial, cfg)
                 tscene = scene
-                if axis == "bounds_fmt":  # freeze encodes the bounds
+                if axis in ("bounds_fmt", "leaf_tris"):  # freeze-time
                     tscene, cam = _build(tcfg, scene_kind)
                 t = _time_leg(tscene, cam, tcfg)
             except Exception as e:  # compile OOM etc: skip the point
@@ -150,7 +154,7 @@ def sweep(cfg=None, scene_kind: str = "bunny", quick: bool = False,
             log(f"[autotune] {axis}={v} -> {t*1e3:.1f} ms/frame")
             if t < t_best:
                 t_best, best = t, trial
-                if axis == "bounds_fmt":
+                if axis in ("bounds_fmt", "leaf_tris"):
                     scene = tscene
     best["seconds_per_frame"] = t_best
     return best

@@ -103,12 +103,18 @@ MEGA_EXPAND_PASSES = 99
 #: pressure; read at trace time so probes can sweep it.
 MEGA_BLOCK_LANES = 4096
 
-#: Inline exact triangles per megakernel leaf row (builder default 8 at
-#: bank width 160; 16 widens the bank to 320 f32 — measured ~free per
-#: row at 262k lanes, notes r8 — and halves leaf-row traversal steps at
-#: the cost of a bigger in-kernel leaf MT block). Read at scene FREEZE;
-#: the kernel follows the scene's layout (Scene.mega_leaf_tris).
-MEGA_LEAF_TRIS = 8
+#: Inline exact triangles per megakernel leaf row. Read at scene
+#: FREEZE; the kernel's leaf block follows the scene layout
+#: (Scene.mega_leaf_tris). Default 5: iterations are segment-pipeline-
+#: bound, NOT leaf-step-bound (probe r59b measured iters/frame pinned
+#: at 72 from leaf4 through leaf16), so small leaves ride the NARROW
+#: W=104 bank (u8 bounds; builder.mega_row_width) — 35% fewer gathered
+#: bytes per iteration AND ~1.8 MB of scoped-VMEM slack per block.
+#: Measured on the v5e headline: leaf8/W160 226.5 -> leaf5/W104 295.0
+#: Mrays/s (+30%, probe r63), radiance and segment counts identical.
+#: leaf16 (W320) exceeds the scoped-VMEM ceiling on v5e; it and leaf8
+#: remain autotuner axes for chips with different budgets.
+MEGA_LEAF_TRIS = 5
 
 #: Mosaic vmem_limit_bytes for the fused body (0 = compiler default,
 #: 16 MB scoped). v5e VMEM is far larger than the default scoped

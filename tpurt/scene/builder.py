@@ -95,12 +95,20 @@ MEGA_ROW_WIDTH = 160
 MEGA_ARITY = 32
 
 
-def mega_row_width(leaf_tris: int) -> int:
-    """Bank row width for a leaf capacity: 19 f32 per inline triangle,
-    node rows need 7 + 4*MEGA_ARITY. Never 256 (a measured-pathological
-    gather tiling case, notes r8); 16-tri leaves round to 320 (measured
-    ~free at 262k lanes)."""
-    w = max(MEGA_ROW_WIDTH, 19 * leaf_tris, 7 + 4 * MEGA_ARITY)
+def mega_row_width(leaf_tris: int, bounds_fmt: str = "u8") -> int:
+    """Bank row width for a leaf capacity: 19 f32 per inline triangle;
+    node rows need 7 + 3*MEGA_ARITY words (u8 bounds) or 7 + 4*
+    MEGA_ARITY (bf16). Rounded to a multiple of 8; never 256 (a
+    measured-pathological gather tiling case, notes r8). leaf_tris < 8
+    narrows the bank below 160 — iterations are segment-pipeline-bound,
+    not leaf-step-bound (probe r59b), so smaller leaves trade free
+    extra leaf rows for fewer gathered bytes per iteration (leaf5/u8 =
+    W104: probes r61/r63)."""
+    node_w = 7 + (4 if bounds_fmt == "bf16" else 3) * MEGA_ARITY
+    w = max(19 * leaf_tris, node_w)
+    w = -(-w // 8) * 8
+    if leaf_tris >= 8:
+        w = max(w, MEGA_ROW_WIDTH)  # the measured W=160 anchor layout
     if w > 160:
         w = -(-w // 64) * 64
         if w == 256:
@@ -158,7 +166,7 @@ def _emit_mega_subtree(rows, nodes, root, tri_pos, tri_nrm, tri_mesh,
     push depth a traversal of this subtree can need.
     """
     leaf_tris = leaf_tris or MEGA_LEAF_TRIS
-    row_width = row_width or mega_row_width(leaf_tris)
+    row_width = row_width or mega_row_width(leaf_tris, bounds_fmt)
     bmin, bmax, child, first, ntris = nodes
     i32f = lambda v: np.array(v, np.int32).view(np.float32)
 
@@ -644,7 +652,7 @@ class SceneBuilder:
 
         bounds_fmt = "bf16" if MEGA_BF16_BOUNDS else "u8"
         leaf_tris = int(getattr(_cfgmod, "MEGA_LEAF_TRIS", MEGA_LEAF_TRIS))
-        row_width = mega_row_width(leaf_tris)
+        row_width = mega_row_width(leaf_tris, bounds_fmt)
         mega_rows_list: List[np.ndarray] = []
         chain: List[Tuple[int, int, bool]] = []
         mega_depth = 0
