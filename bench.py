@@ -510,11 +510,10 @@ def main():
     # at 2, scripts/probe_r3e.py; +5% more at 4 with the 65536
     # sub-batch floor, scripts/probe_r27.py). Stages below 4x the
     # floor degrade to the largest admissible split automatically.
-    # mega_tail_passes=3: with root expansion removing the enter/root
-    # iterations, replay-shade passes dominate live iterations; three
-    # in-iteration retire->shade->re-enter passes cut the iteration
-    # count superlinearly (probes r30-r32: 47 -> 76 Mrays/s; tail4 and
-    # unroll4 combos regress — the body spills).
+    # mega_tail_passes=5: with the narrow arity8/leaf3/W64 bank (probe
+    # r63-r68) freeing scoped VMEM, the retire->shade->re-enter pass
+    # ladder extends — iterations drop 72 -> 51/frame (tail6 regresses;
+    # before the narrow bank even tail4 was a measured wash).
     # compaction_threshold=0 (PLAIN batches): with root expansion +
     # tail_passes=3 the whole batch retires inside ~72 heavy iterations
     # and the staged/cascade machinery is net-negative (probe_r37 clean
@@ -522,7 +521,7 @@ def main():
     # bunny-1080p-bvh row keeps the staged schedule as the measured A/B.
     common = dict(tile_size=args.tile_size, seed_mode="reference",
                   pixels_per_lane=8, mega_interleave=4,
-                  mega_tail_passes=3, compaction_threshold=0)
+                  mega_tail_passes=5, compaction_threshold=0)
     if args.tuned:
         # Platform-specific knob set from the autotuner cache (the
         # defaults above are the measured v5e optimum; a v5p re-derives
@@ -637,7 +636,8 @@ def main():
     headline = run_config(
         "bunny-1080p-plain", "bunny",
         RenderConfig(width=1920, height=1080, rays_per_pixel=args.spp,
-                     max_bounces=4, **common), strict=args.strict)
+                     max_bounces=4, **common),
+        strict=args.strict)
     print(json.dumps({
         "metric": "Mrays/sec/chip bunny-class 1080p BVH path trace",
         "value": round(headline["mrays"], 2),

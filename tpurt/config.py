@@ -105,16 +105,27 @@ MEGA_BLOCK_LANES = 4096
 
 #: Inline exact triangles per megakernel leaf row. Read at scene
 #: FREEZE; the kernel's leaf block follows the scene layout
-#: (Scene.mega_leaf_tris). Default 5: iterations are segment-pipeline-
-#: bound, NOT leaf-step-bound (probe r59b measured iters/frame pinned
-#: at 72 from leaf4 through leaf16), so small leaves ride the NARROW
-#: W=104 bank (u8 bounds; builder.mega_row_width) — 35% fewer gathered
-#: bytes per iteration AND ~1.8 MB of scoped-VMEM slack per block.
-#: Measured on the v5e headline: leaf8/W160 226.5 -> leaf5/W104 295.0
-#: Mrays/s (+30%, probe r63), radiance and segment counts identical.
-#: leaf16 (W320) exceeds the scoped-VMEM ceiling on v5e; it and leaf8
+#: (Scene.mega_leaf_tris). Iterations are segment-pipeline-bound, NOT
+#: traversal-step-bound (probe r59b: iters/frame pinned from leaf4
+#: through leaf16 AND from arity 4 through 32), so the bank is sized
+#: for the NARROWEST rows, not the fattest: fewer gathered bytes per
+#: iteration, a smaller in-kernel traversal block, and scoped-VMEM
+#: slack that un-spills the deeper tail-pass ladder. v5e headline
+#: ladder (probes r63-r68, radiance/segment counts identical at every
+#: point): leaf8/W160 226.5 -> leaf5/W104 295.0 -> +tail4 314.4 ->
+#: arity16/leaf4/W80 356.9 -> arity8/leaf3/W64 + tail5 382.6 Mrays/s.
+#: leaf16 (W320) exceeds the v5e scoped-VMEM ceiling; wide layouts
 #: remain autotuner axes for chips with different budgets.
-MEGA_LEAF_TRIS = 5
+MEGA_LEAF_TRIS = 3
+
+#: Children per megakernel node row (read at scene FREEZE; the kernel
+#: follows Scene.mega_arity). Small arity shrinks the node-row words
+#: (u8 bank floor: 7+3*arity) and the per-iteration node branch (arity
+#: slab tests); the tree deepens (blob: depth 7 -> 11 at 8) but
+#: iterations stay segment-pipeline-bound. arity 4 measured WORSE than
+#: 8 (the doubled register stack streams every iteration). Must fit
+#: MEGA_SLOT_BITS (<= 63).
+MEGA_NODE_ARITY = 8
 
 #: Mosaic vmem_limit_bytes for the fused body (0 = compiler default,
 #: 16 MB scoped). v5e VMEM is far larger than the default scoped

@@ -275,17 +275,18 @@ def _root_tables(scene: Scene, chain_roots, expand):
     b2f = lambda v: v.astype(jnp.int32).astype(_F32)
     bcf = lambda u: lax.bitcast_convert_type(u, _F32)
     bf16 = scene.mega_bounds_fmt == "bf16"
+    arity = int(getattr(scene, "mega_arity", MEGA_ARITY))
     for e, root in enumerate(chain_roots):
         if not expand[e]:
-            f_rows.append(jnp.zeros((1 + 6 * MEGA_ARITY,), _F32))
-            i_rows.append(jnp.zeros((MEGA_ARITY,), jnp.int32))
+            f_rows.append(jnp.zeros((1 + 6 * arity,), _F32))
+            i_rows.append(jnp.zeros((arity,), jnp.int32))
             continue
         row = scene.mega_rows[root]  # (W,) f32
         axis_f = lax.bitcast_convert_type(row[6], jnp.int32).astype(_F32)
         cols = [axis_f[None]]
         metas = []
         if bf16:
-            for slot in range(MEGA_ARITY):
+            for slot in range(arity):
                 base = 7 + 4 * slot
                 w0 = lax.bitcast_convert_type(row[base], jnp.uint32)
                 w1 = lax.bitcast_convert_type(row[base + 1], jnp.uint32)
@@ -303,7 +304,7 @@ def _root_tables(scene: Scene, chain_roots, expand):
         else:
             grid_o = row[0:3]
             grid_s = row[3:6]
-            for slot in range(MEGA_ARITY):
+            for slot in range(arity):
                 base = 7 + 3 * slot
                 w0 = lax.bitcast_convert_type(row[base], jnp.uint32)
                 w1 = lax.bitcast_convert_type(row[base + 1], jnp.uint32)
@@ -605,6 +606,7 @@ def _expand_root(
     lo: V3, ld: V3, lid: V3,  # the entry's local ray
     lt, w_dst,  # distance state as the next node step would see it
     cur, cur_leaf, stack, s_depth: int,
+    arity: int = None,
 ):
     """Run entry ``e``'s root-node test inline at enter time (the
     node branch of _body_math one iteration early, from precomputed
@@ -615,6 +617,7 @@ def _expand_root(
     iteration for every entered traversal; hit decisions and stack
     contents are identical to the un-expanded trajectory."""
     lanes = cur.shape
+    arity = arity or MEGA_ARITY
     rf, ri = params.roots_f, params.roots_i
     tab = params.table
 
@@ -633,18 +636,18 @@ def _expand_root(
     )
     fwd = dcomp >= 0.0
 
-    best_prio = jnp.full(lanes, MEGA_ARITY, jnp.int32)
+    best_prio = jnp.full(lanes, arity, jnp.int32)
     first_meta = jnp.zeros(lanes, jnp.int32)
-    second_prio = jnp.full(lanes, MEGA_ARITY, jnp.int32)
+    second_prio = jnp.full(lanes, arity, jnp.int32)
     second_meta = jnp.zeros(lanes, jnp.int32)
     hit_count = jnp.zeros(lanes, jnp.int32)
-    for slot in range(MEGA_ARITY):
+    for slot in range(arity):
         meta = zeros_i + ri[e, slot]  # scalar i32 -> lane vector
         base = 1 + 6 * slot
         bmin = V3(rf[e, base], rf[e, base + 1], rf[e, base + 2])
         bmax = V3(rf[e, base + 3], rf[e, base + 4], rf[e, base + 5])
         hit, _tmin = _aabb_soa(lo, lid, bmin, bmax, limit)
-        prio = jnp.where(fwd, slot, MEGA_ARITY - 1 - slot)
+        prio = jnp.where(fwd, slot, arity - 1 - slot)
         hit = hit & (meta != 0)  # enter implies cur_slot == 0: no floor
         better = hit & (prio < best_prio)
         second = hit & ~better & (prio < second_prio)
@@ -658,7 +661,7 @@ def _expand_root(
         first_meta = jnp.where(better, meta, first_meta)
         hit_count = hit_count + hit.astype(jnp.int32)
 
-    first_found = best_prio < MEGA_ARITY
+    first_found = best_prio < arity
     desc = mask & first_found
     push_child = desc & (hit_count >= 2)
     push_resume = desc & (hit_count >= 3)
@@ -731,6 +734,7 @@ def _body_math(
     bounds_fmt: str = "u8",  # node-row child-bounds encoding (static)
     leaf_tris: int = 8,  # inline triangles per leaf row (static; must
     #   match the scene's bank layout, Scene.mega_leaf_tris)
+    arity: int = 32,  # children per node row (Scene.mega_arity)
     dense_hit=None,  # (t, normal V3, backface, mesh) from the fused
     #   dense sweep — replaces the BVH walk when set (dense mode)
 ) -> _Lane:
@@ -845,14 +849,14 @@ def _body_math(
             jnp.where(sort_axis == 1, s.ld.y, s.ld.z),
         )
         fwd = dcomp >= 0.0
-        best_prio = jnp.full(lanes, MEGA_ARITY, jnp.int32)
+        best_prio = jnp.full(lanes, arity, jnp.int32)
         first_meta = zeros_i
-        second_prio = jnp.full(lanes, MEGA_ARITY, jnp.int32)
+        second_prio = jnp.full(lanes, arity, jnp.int32)
         second_meta = zeros_i
         hit_count = zeros_i
         m8 = np.uint32(0xFF)
         m_hi = np.uint32(0xFFFF0000)
-        for slot in range(MEGA_ARITY):
+        for slot in range(arity):
             if bounds_fmt == "bf16":
                 # Absolute bf16 bounds, two per word in the f32 TOP
                 # halves: decode = shift/mask + vector bitcast (no FMA,
@@ -887,7 +891,7 @@ def _body_math(
                 bmin = grid_o + q_lo * grid_s
                 bmax = grid_o + q_hi * grid_s
             hit, _tmin = _aabb_soa(s.lo, s.lid, bmin, bmax, limit)
-            prio = jnp.where(fwd, slot, MEGA_ARITY - 1 - slot)
+            prio = jnp.where(fwd, slot, arity - 1 - slot)
             hit &= (meta != 0) & (prio >= s.cur_slot)
             better = hit & (prio < best_prio)
             second = hit & ~better & (prio < second_prio)
@@ -902,7 +906,7 @@ def _body_math(
             first_meta = jnp.where(better, meta, first_meta)
             hit_count = hit_count + hit.astype(jnp.int32)
 
-        first_found = best_prio < MEGA_ARITY
+        first_found = best_prio < arity
         descend = node_on & first_found
         # DIRECT SECOND-CHILD PUSH: the 2nd-nearest hit child's meta is
         # pushed as a RESOLVED entry (tag bit set) so popping it costs
@@ -1288,7 +1292,7 @@ def _body_math(
                 m_x = entering & ok_e & (entry == e_x)
                 cur, cur_leaf, stack = _expand_root(
                     params, e_x, m_x, lo, ld, lid, t.lt, w_dst,
-                    cur, cur_leaf, stack, s_depth,
+                    cur, cur_leaf, stack, s_depth, arity=arity,
                 )
         else:
             lo, ld, lid = t.lo, t.ld, t.lid
@@ -1509,6 +1513,7 @@ def run_megakernel(
                 params, 0, pre_ok0, lo0, ld0, lid0,
                 jnp.full((r,), _INF, _F32), sd,
                 cur0, cur_leaf0, stack0, s_depth,
+                arity=int(getattr(scene, "mega_arity", 32)),
             )
     else:
         lo0, ld0, lid0 = ro0, rd0, V3(1.0 / rd0.x, 1.0 / rd0.y, 1.0 / rd0.z)
@@ -1649,6 +1654,7 @@ def run_megakernel(
         ),
         bounds_fmt=scene.mega_bounds_fmt,
         leaf_tris=int(getattr(scene, "mega_leaf_tris", 8)),
+        arity=int(getattr(scene, "mega_arity", 32)),
     )
 
     dense = bool(dense) and e_count > 0

@@ -95,7 +95,8 @@ MEGA_ROW_WIDTH = 160
 MEGA_ARITY = 32
 
 
-def mega_row_width(leaf_tris: int, bounds_fmt: str = "u8") -> int:
+def mega_row_width(leaf_tris: int, bounds_fmt: str = "u8",
+                   arity: int = None) -> int:
     """Bank row width for a leaf capacity: 19 f32 per inline triangle;
     node rows need 7 + 3*MEGA_ARITY words (u8 bounds) or 7 + 4*
     MEGA_ARITY (bf16). Rounded to a multiple of 8; never 256 (a
@@ -104,7 +105,8 @@ def mega_row_width(leaf_tris: int, bounds_fmt: str = "u8") -> int:
     not leaf-step-bound (probe r59b), so smaller leaves trade free
     extra leaf rows for fewer gathered bytes per iteration (leaf5/u8 =
     W104: probes r61/r63)."""
-    node_w = 7 + (4 if bounds_fmt == "bf16" else 3) * MEGA_ARITY
+    arity = arity or MEGA_ARITY
+    node_w = 7 + (4 if bounds_fmt == "bf16" else 3) * arity
     w = max(19 * leaf_tris, node_w)
     w = -(-w // 8) * 8
     if leaf_tris >= 8:
@@ -129,7 +131,7 @@ MEGA_STATIC_MAX_TRIS = 64
 
 def _emit_mega_subtree(rows, nodes, root, tri_pos, tri_nrm, tri_mesh,
                        bounds_fmt: str = "u8", leaf_tris: int = None,
-                       row_width: int = None):
+                       row_width: int = None, arity: int = None):
     """Emit a BVH2 subtree as MEGA_ARITY-wide megakernel rows.
 
     The TPU gather engine is row-granular (~110-207M rows/s regardless
@@ -166,7 +168,8 @@ def _emit_mega_subtree(rows, nodes, root, tri_pos, tri_nrm, tri_mesh,
     push depth a traversal of this subtree can need.
     """
     leaf_tris = leaf_tris or MEGA_LEAF_TRIS
-    row_width = row_width or mega_row_width(leaf_tris, bounds_fmt)
+    arity = arity or MEGA_ARITY
+    row_width = row_width or mega_row_width(leaf_tris, bounds_fmt, arity)
     bmin, bmax, child, first, ntris = nodes
     i32f = lambda v: np.array(v, np.int32).view(np.float32)
 
@@ -232,7 +235,7 @@ def _emit_mega_subtree(rows, nodes, root, tri_pos, tri_nrm, tri_mesh,
             s = bmax[j] - bmin[j]
             return float(s[0] * (s[1] + s[2]) + s[1] * s[2])
 
-        while len(slots) < MEGA_ARITY - 1:
+        while len(slots) < arity - 1:
             internals = [
                 j for j in slots
                 if ntris[j] == 0 and subtree_count(j) > leaf_tris
@@ -280,7 +283,7 @@ def _emit_mega_subtree(rows, nodes, root, tri_pos, tri_nrm, tri_mesh,
                 row[base + 2] = u16f(hi16[1], hi16[2])
                 row[base + 3] = i32f((target << 1) | (1 if is_leaf else 0))
             big, neg = np.uint16(0x7F7F), np.uint16(0xFF7F)
-            for s_idx in range(len(slots), MEGA_ARITY):
+            for s_idx in range(len(slots), arity):
                 base = 7 + 4 * s_idx
                 # empty slot: lo = +MAX > hi = -MAX never hits; meta 0
                 row[base] = u16f(big, big)
@@ -322,7 +325,7 @@ def _emit_mega_subtree(rows, nodes, root, tri_pos, tri_nrm, tri_mesh,
             row[base] = np.array(w0, np.uint32).view(np.float32)
             row[base + 1] = np.array(w1, np.uint32).view(np.float32)
             row[base + 2] = i32f((target << 1) | (1 if is_leaf else 0))
-        for s_idx in range(len(slots), MEGA_ARITY):
+        for s_idx in range(len(slots), arity):
             base = 7 + 3 * s_idx
             # empty slot: qlo=255 > qhi=0 never hits; meta 0
             row[base] = np.array(
@@ -652,7 +655,9 @@ class SceneBuilder:
 
         bounds_fmt = "bf16" if MEGA_BF16_BOUNDS else "u8"
         leaf_tris = int(getattr(_cfgmod, "MEGA_LEAF_TRIS", MEGA_LEAF_TRIS))
-        row_width = mega_row_width(leaf_tris, bounds_fmt)
+        arity = int(getattr(_cfgmod, "MEGA_NODE_ARITY", MEGA_ARITY))
+        assert 2 <= arity <= (1 << MEGA_SLOT_BITS) - 1
+        row_width = mega_row_width(leaf_tris, bounds_fmt, arity)
         mega_rows_list: List[np.ndarray] = []
         chain: List[Tuple[int, int, bool]] = []
         mega_depth = 0
@@ -745,7 +750,7 @@ class SceneBuilder:
             root_row, root_leaf, d = _emit_mega_subtree(
                 mega_rows_list, s_nodes.as_arrays(), s_root, s_pos, s_nrm,
                 s_mesh, bounds_fmt=bounds_fmt, leaf_tris=leaf_tris,
-                row_width=row_width,
+                row_width=row_width, arity=arity,
             )
             chain.append((-1, root_row, root_leaf))
             mega_depth = max(mega_depth, d)
@@ -763,7 +768,7 @@ class SceneBuilder:
                 root_row, root_leaf, d = _emit_mega_subtree(
                     mega_rows_list, nodes_tuple, m.node_idx,
                     tri_pos, tri_nrm, None, bounds_fmt=bounds_fmt,
-                    leaf_tris=leaf_tris, row_width=row_width,
+                    leaf_tris=leaf_tris, row_width=row_width, arity=arity,
                 )
                 mega_depth = max(mega_depth, d)
                 emitted_roots[m.node_idx] = (root_row, root_leaf)
@@ -834,6 +839,7 @@ class SceneBuilder:
             mesh_tri_ranges=tuple((m.first_tri, m.num_tris) for m in self.meshes),
             mega_bounds_fmt=bounds_fmt,
             mega_leaf_tris=leaf_tris,
+            mega_arity=arity,
             mesh_mat_types=tuple(int(m.material.type) for m in self.meshes),
             mesh_identity=tuple(
                 tuple(np.asarray(m.pos, np.float64).tolist()) == (0.0, 0.0, 0.0)

@@ -183,6 +183,9 @@ class Scene:
     #: MEGA_LEAF_TRIS / config override; the kernel's leaf loop is
     #: unrolled to this static count).
     mega_leaf_tris: int = struct.field(pytree_node=False, default=8)
+    #: Children per node row in mega_rows (builder MEGA_ARITY /
+    #: config.MEGA_NODE_ARITY override; static in the kernel).
+    mega_arity: int = struct.field(pytree_node=False, default=32)
 
     @property
     def num_triangles(self) -> int:
