@@ -551,16 +551,13 @@ def main():
         # Config 1: CPU-oracle parity scene (BASELINE.json config 1:
         # 640x480, 1 spp, direct lighting — parity itself is asserted
         # in tests vs tests/oracle.py; here we time the config).
-        # pixels_per_lane=1 here: quota depth amortises per-lane work
-        # (P x spp), but at 1 spp direct lighting there is nothing to
-        # amortise — P=8 just serialises 8 pixels per lane through 6
-        # launch-ramp iterations (950 us fixed each). One-pixel lanes
-        # cover the frame in one wide launch with ~2-3 iterations.
+        # (pixels_per_lane=1 was probed for this row — 4 iterations
+        # but 2.8 ms each at 307k lanes: 46.7 vs P8's 53.9 Mrays/s —
+        # the quota's narrower launch wins even at 1 spp.)
         results.append(run_config(
             "parity-640x480-1spp", "sphere",
             RenderConfig(width=640, height=480, rays_per_pixel=1,
-                         max_bounces=1,
-                         **{**common, "pixels_per_lane": 1})))
+                         max_bounces=1, **common)))
         # Config 2: low-poly brute force, 720p — the speed-of-light dense
         # path (BASELINE config 2). mega_dense: persistent lanes whose
         # per-iteration "traversal" is one fused Plücker MXU sweep
