@@ -66,14 +66,17 @@ def main():
             b.add_mesh(h)
         return b.freeze()
 
-    cfg = RenderConfig(width=1280, height=720, rays_per_pixel=4,
+    # 64-instance XLA body at 230k lanes CRASHED the TPU worker on the
+    # first run (kernel fault in the worker, not a compile error) —
+    # retry at a quarter of the lanes to separate size from regime.
+    cfg = RenderConfig(width=640, height=360, rays_per_pixel=4,
                        max_bounces=4, tile_size=256, seed_mode="reference",
-                       rays_per_batch=230400, pixels_per_lane=4,
-                       mega_interleave=4, mega_tail_passes=3,
+                       rays_per_batch=57600, pixels_per_lane=4,
+                       mega_interleave=1, mega_tail_passes=3,
                        compaction_threshold=0)
     cam = Camera.create(position=(0.0, 150.0, 380.0), pitch=-0.1,
                         yaw=np.pi, roll=0.0, fov_degrees=90.0,
-                        aspect_ratio=1280.0 / 720.0)
+                        aspect_ratio=640.0 / 360.0)
 
     def leg(label, k):
         scene = grid_scene(k)
@@ -104,9 +107,16 @@ def main():
         print(f"[{label}] {best/FRAMES*1e3:.1f} ms/frame  "
               f"{segs/best/1e6:.1f} Mrays/s", flush=True)
 
+    import tpurt.config as _c
+
+    if "--select64" in sys.argv:
+        _c.SELECT_GATHER_THRESHOLD = 128
+        leg("K=64 SELECT regime (threshold 128)", 64)
+        return
     leg("K=8 select regime", 8)
     leg("K=64 gather regime", 64)
 
 
 if __name__ == "__main__":
     main()
+

@@ -31,7 +31,16 @@ IOR_AIR = 1.0
 #: is O(K) per ray at RUNTIME — the select form is O(K) in CODE size
 #: too). Above this threshold the megakernel also forces the XLA loop
 #: body: Mosaic has no dynamic-gather lowering on this toolchain.
-SELECT_GATHER_THRESHOLD = 24
+#:
+#: Default 64 (was 24): the gather-regime executable REPRODUCIBLY
+#: crashes the axon TPU worker at K=64 (kernel fault, probe r62 —
+#: both 230k and 57k lanes), while the select regime at K=64 compiles
+#: and runs (3.4 Mrays/s on the 64-instance grid vs K=8's 33 — the
+#: O(K) chains are slow but alive). Until the worker bug is gone,
+#: scenes in [25, 64] instances stay on selects; the gather regime
+#: remains correct on CPU (tests/test_many_meshes.py) and is the only
+#: compile-viable form past ~100.
+SELECT_GATHER_THRESHOLD = 64
 
 #: Maximum chain entries the megakernel's enter step will advance past
 #: IN-PLACE when their root pretests fail (the chain skip). Each step
