@@ -144,13 +144,15 @@ MEGA_VMEM_LIMIT_MB = 0
 
 #: Scene-specialised material-branch pruning in the shade step
 #: (shading.shade_hit_soa ``present``): bitwise-identical on CPU (the
-#: pruned branches' masks are all-False and masked RNG draws freeze),
-#: but measured a net LOSS on the v5e Mosaic body (probe_r36: the
-#: pruned program exceeds the default 16 MB scoped-VMEM ceiling —
-#: fewer ops, worse schedule — and at vmem=24 MB runs 72.5 vs the
-#: unpruned 86.4 Mrays/s). Default OFF on the megakernel path until
-#: the Mosaic scheduling interaction is understood.
-MEGA_MAT_PRUNE = False
+#: pruned branches' masks are all-False and masked RNG draws freeze).
+#: Round 3 measured it a net LOSS (the pruned program exceeded the
+#: 16 MB scoped-VMEM ceiling — fewer ops, worse schedule); with the
+#: narrow a8/l3/W64 bank's slack it compiles at the default budget and
+#: wins: 380.9 -> 389.2 Mrays/s on the headline (probe r70). Default
+#: ON; the default-suite mega-vs-oracle golden exercises the pruned
+#: body bitwise (the Cornell-sphere scene lacks several material
+#: types).
+MEGA_MAT_PRUNE = True
 
 #: Freeze-time node-row bounds encoding (scene/builder): bf16 absolute
 #: child bounds (4 words/slot, decode = shift+bitcast) instead of u8 on
