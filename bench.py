@@ -531,16 +531,16 @@ def main():
         knobs = autotune.load_tuned()
         if knobs:
             log(f"tuned knobs: {knobs}")
-            import tpurt.config as _c
-
-            if "block_lanes" in knobs:
-                _c.MEGA_BLOCK_LANES = int(knobs["block_lanes"])
-            if "bounds_fmt" in knobs:
-                _c.MEGA_BF16_BOUNDS = knobs["bounds_fmt"] == "bf16"
+            # Route ALL knob application through autotune.apply so the
+            # module-level tunables (block_lanes, bounds_fmt, leaf_tris,
+            # node_arity, mat_prune — the freeze-time bank layout the
+            # tuner measured) land exactly as swept; the RenderConfig
+            # fields feed the shared `common` dict.
+            tuned_cfg = autotune.apply(knobs, RenderConfig())
             for k in ("mega_tail_passes", "mega_interleave",
                       "pixels_per_lane"):
                 if k in knobs:
-                    common[k] = int(knobs[k])
+                    common[k] = int(getattr(tuned_cfg, k))
         else:
             log("no autotune cache for this platform — run "
                 "`python -m tpurt.autotune` first; using defaults")

@@ -20,15 +20,30 @@ def test_autotune_quick_sweep_and_cache(tmp_path, monkeypatch):
     cfg = RenderConfig(width=32, height=16, rays_per_pixel=1,
                        max_bounces=2, rays_per_batch=256,
                        pixels_per_lane=2, compaction_threshold=0)
-    # Two-value axes keep the CPU sweep to a few compiles.
+    # Two-value axes keep the CPU sweep to a few compiles. node_arity
+    # exercises the freeze-time rebuild path (the bank layout axis the
+    # round-4 descent shipped through).
     monkeypatch.setattr(autotune, "AXES", (
+        ("node_arity", (8, 4)),
         ("mega_tail_passes", (1, 2)),
         ("mega_interleave", (1, 2)),
     ))
-    knobs = autotune.sweep(cfg, scene_kind="sphere", quick=True,
+    import tpurt.config as _c
+
+    # Register restore-to-default for every global apply() touches so
+    # later tests in the session see the shipped layout again.
+    for name in ("MEGA_BLOCK_LANES", "MEGA_BF16_BOUNDS", "MEGA_LEAF_TRIS",
+                 "MEGA_NODE_ARITY", "MEGA_MAT_PRUNE"):
+        monkeypatch.setattr(_c, name, getattr(_c, name))
+
+    knobs = autotune.sweep(cfg, scene_kind="sphere", quick=False,
                            log=lambda *a: None)
     assert np.isfinite(knobs["seconds_per_frame"])
     assert knobs["mega_tail_passes"] in (1, 2)
+    assert knobs["node_arity"] in (4, 8)
+    # Globals restored to the WINNING set (not a losing trial's value).
+    assert _c.MEGA_NODE_ARITY == knobs["node_arity"]
+    assert _c.MEGA_LEAF_TRIS == knobs["leaf_tris"]
 
     # Cache round-trip + apply().
     path = autotune.cache_path("cpu")

@@ -87,9 +87,13 @@ def test_cross_frame_packing_bitwise():
     assert rows < total  # the loop really covered two distinct regions
 
 
-def test_cross_frame_packing_static_camera():
+def test_cross_frame_packing_static_camera(monkeypatch):
     """cameras=None-style pack (same camera, distinct frame indices) —
-    the progressive-accumulation shape the bench steady block uses."""
+    the progressive-accumulation shape the bench steady block uses.
+    An all-identical camera tuple must collapse to the megakernel's
+    SHARED frame-start direction table (cameras=None / share_rd), so
+    the operand footprint stays one frame's worth at any pack depth."""
+    import tpurt.render.renderer as R
     from tpurt.render.renderer import (
         render_batch_flat, render_batch_flat_frames,
     )
@@ -98,8 +102,17 @@ def test_cross_frame_packing_static_camera():
                compaction_threshold=0, rays_per_pixel=2, max_bounces=3)
     scene, cam, _ = default_scene(cfg)
     rows = 256 * cfg.pixels_per_lane
+    seen = {}
+    orig = R._mega_flat_multi
+
+    def spy(s, cameras, *a, **kw):
+        seen["n_cams"] = len(cameras)
+        return orig(s, cameras, *a, **kw)
+
+    monkeypatch.setattr(R, "_mega_flat_multi", spy)
     packed, _, _ = render_batch_flat_frames(
         scene, (cam, cam, cam), cfg, 0, frame_index=0)
+    assert seen["n_cams"] == 1  # collapsed -> shared rd table engaged
     packed = np.asarray(packed)
     for f in range(3):
         single, _, _ = render_batch_flat(scene, cam, cfg, 0, frame_index=f)

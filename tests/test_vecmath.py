@@ -80,3 +80,28 @@ def test_lerp3_endpoints():
     a, b = _rand((8, 3), 1), _rand((8, 3), 2)
     np.testing.assert_allclose(np.asarray(vm.lerp3(a, b, 0.0)), np.asarray(a))
     np.testing.assert_allclose(np.asarray(vm.lerp3(a, b, 1.0)), np.asarray(b))
+
+
+def test_hsv2rgb_reference_sectors():
+    """hsv2rgb matches the reference's switch-table semantics
+    (src/math.hpp:19-75): pure hues land in the right sector, s<=0 is
+    grey, h>=360 wraps to sector 0."""
+    from tpurt.core.vecmath import hsv2rgb
+
+    cases = [
+        # (h, s, v) -> expected rgb
+        ((0.0, 1.0, 1.0), (1.0, 0.0, 0.0)),     # red, sector 0
+        ((120.0, 1.0, 1.0), (0.0, 1.0, 0.0)),   # green, sector 2
+        ((240.0, 1.0, 1.0), (0.0, 0.0, 1.0)),   # blue, sector 4
+        ((60.0, 1.0, 1.0), (1.0, 1.0, 0.0)),    # yellow, sector 1
+        ((300.0, 1.0, 1.0), (1.0, 0.0, 1.0)),   # magenta, sector 5
+        ((360.0, 1.0, 1.0), (1.0, 0.0, 0.0)),   # wrap -> sector 0
+        ((123.0, 0.0, 0.7), (0.7, 0.7, 0.7)),   # s<=0 -> grey
+        ((90.0, 0.5, 0.8), (0.6, 0.8, 0.4)),    # mid-sector interp
+    ]
+    hs = np.array([c[0][0] for c in cases], np.float32)
+    ss = np.array([c[0][1] for c in cases], np.float32)
+    vs = np.array([c[0][2] for c in cases], np.float32)
+    got = np.asarray(hsv2rgb(hs, ss, vs))
+    want = np.array([c[1] for c in cases], np.float32)
+    np.testing.assert_allclose(got, want, atol=1e-6)

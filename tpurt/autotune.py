@@ -31,20 +31,36 @@ from typing import Optional
 
 import numpy as np
 
-#: Axes swept, in descent order (most impactful first, per the round-3
-#: probe ledger). Values are candidates; the current best of every
-#: other axis is held while one axis sweeps.
+#: Axes swept, in descent order (most impactful first, per the round-4
+#: probe ledger: the narrow-bank descent notes/tpu_measurements.md
+#: r59b-r68 — bank layout (arity x leaf, which together derive the row
+#: width W at freeze: u8 node rows need 7+3*arity words, leaf rows
+#: 1+21*leaf) dominates, then tail passes, then the scheduler knobs).
+#: Values are candidates; the current best of every other axis is held
+#: while one axis sweeps. The descent SEEDS from the shipped config
+#: (the config-module defaults), so on a new chip the sweep starts in
+#: the known v5e optimum's neighbourhood and explores outward.
 AXES = (
-    ("leaf_tris", (4, 5, 8, 16)),
-    ("mega_tail_passes", (1, 2, 3, 4)),
+    ("node_arity", (4, 8, 16, 32)),
+    ("leaf_tris", (2, 3, 4, 5, 8)),
+    ("mega_tail_passes", (3, 4, 5, 6)),
     ("mega_interleave", (1, 2, 4, 8)),
     ("pixels_per_lane", (4, 8, 16)),
     ("block_lanes", (2048, 4096, 8192)),
     ("bounds_fmt", ("u8", "bf16")),
+    ("mat_prune", (True, False)),
 )
 QUICK_AXES = ("mega_tail_passes", "mega_interleave")
 
 _CFG_FIELDS = {"mega_tail_passes", "mega_interleave", "pixels_per_lane"}
+#: Axes baked into the Scene at freeze time (bank layout / encoding):
+#: each leg rebuilds + refreezes the scene.
+_FREEZE_AXES = {"bounds_fmt", "leaf_tris", "node_arity"}
+#: Axes read from config-module globals at TRACE time without entering
+#: any jit cache key: mutating them silently reuses the stale
+#: executable, so these legs clear the jit caches around the trial
+#: (ADVICE r4: the block_lanes sweep timed the identical program).
+_TRACE_GLOBAL_AXES = {"block_lanes", "mat_prune"}
 
 
 def cache_path(platform: str) -> str:
@@ -78,8 +94,13 @@ def apply(knobs: dict, cfg):
         # Scene freeze reads the format; the sweep re-freezes per value.
         _c.MEGA_BF16_BOUNDS = knobs["bounds_fmt"] == "bf16"
     if "leaf_tris" in knobs:
-        # Freeze-time bank layout (leaf capacity + row width).
+        # Freeze-time bank layout (leaf capacity; with node_arity this
+        # derives the row width W at freeze).
         _c.MEGA_LEAF_TRIS = int(knobs["leaf_tris"])
+    if "node_arity" in knobs:
+        _c.MEGA_NODE_ARITY = int(knobs["node_arity"])
+    if "mat_prune" in knobs:
+        _c.MEGA_MAT_PRUNE = bool(knobs["mat_prune"])
     return cfg.replace(**updates) if updates else cfg
 
 
@@ -130,7 +151,9 @@ def sweep(cfg=None, scene_kind: str = "bunny", quick: bool = False,
         "pixels_per_lane": cfg.pixels_per_lane,
         "block_lanes": int(getattr(_c, "MEGA_BLOCK_LANES", 4096)),
         "bounds_fmt": "bf16" if getattr(_c, "MEGA_BF16_BOUNDS", False) else "u8",
-        "leaf_tris": int(getattr(_c, "MEGA_LEAF_TRIS", 5)),
+        "leaf_tris": int(getattr(_c, "MEGA_LEAF_TRIS", 3)),
+        "node_arity": int(getattr(_c, "MEGA_NODE_ARITY", 8)),
+        "mat_prune": bool(getattr(_c, "MEGA_MAT_PRUNE", True)),
     }
     scene, cam = _build(apply(best, cfg), scene_kind)
     t_best = _time_leg(scene, cam, apply(best, cfg))
@@ -145,8 +168,13 @@ def sweep(cfg=None, scene_kind: str = "bunny", quick: bool = False,
             try:
                 tcfg = apply(trial, cfg)
                 tscene = scene
-                if axis in ("bounds_fmt", "leaf_tris"):  # freeze-time
+                if axis in _FREEZE_AXES:  # baked into the Scene
                     tscene, cam = _build(tcfg, scene_kind)
+                if axis in _TRACE_GLOBAL_AXES:
+                    # These globals are read at trace time but are NOT
+                    # part of any jit cache key — without a cache clear
+                    # the leg replays the previous executable verbatim.
+                    jax.clear_caches()
                 t = _time_leg(tscene, cam, tcfg)
             except Exception as e:  # compile OOM etc: skip the point
                 log(f"[autotune] {axis}={v} failed: {str(e)[:120]}")
@@ -154,8 +182,17 @@ def sweep(cfg=None, scene_kind: str = "bunny", quick: bool = False,
             log(f"[autotune] {axis}={v} -> {t*1e3:.1f} ms/frame")
             if t < t_best:
                 t_best, best = t, trial
-                if axis in ("bounds_fmt", "leaf_tris"):
+                if axis in _FREEZE_AXES:
                     scene = tscene
+        if axis in _TRACE_GLOBAL_AXES:
+            # Leave the axis's global at the WINNER, with fresh caches,
+            # before the next axis compiles against it.
+            apply(best, cfg)
+            jax.clear_caches()
+    # Restore every config-module tunable to the winning set (a losing
+    # trial otherwise leaves its value behind for any in-process freeze
+    # after sweep(), ADVICE r4).
+    apply(best, cfg)
     best["seconds_per_frame"] = t_best
     return best
 

@@ -108,3 +108,37 @@ def rotate(m: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
 def rotate_t(m: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     """mul_mat_vec(transpose(m), v) without materialising the transpose."""
     return jnp.einsum("...ji,...j->...i", m, v)
+
+
+def hsv2rgb(h: jnp.ndarray, s: jnp.ndarray, v: jnp.ndarray):
+    """HSV -> RGB with the reference's sector semantics
+    (src/math.hpp:19-75: h in degrees with h >= 360 wrapping to 0, s/v
+    in [0,1]; s <= 0 returns the grey (v, v, v)). Dead code in the
+    reference's live path (used only in commented-out tile-debug tints,
+    src/image.hpp:392-398); transcribed for symbol-level completeness.
+    Vectorised: h/s/v broadcast, returns (..., 3)."""
+    h = jnp.asarray(h, jnp.float32)
+    s = jnp.asarray(s, jnp.float32)
+    v = jnp.asarray(v, jnp.float32)
+    hh = jnp.where(h >= 360.0, 0.0, h) / 60.0
+    i = jnp.floor(hh)
+    ff = hh - i
+    p = v * (1.0 - s)
+    q = v * (1.0 - s * ff)
+    t = v * (1.0 - s * (1.0 - ff))
+    sector = i.astype(jnp.int32)
+    # Sector table, rows = sectors 0..5 (the reference's switch; any
+    # value past 5 takes the default arm, i.e. row 5).
+    sector = jnp.clip(sector, 0, 5)
+    r = jnp.select(
+        [sector == 0, sector == 1, sector == 2, sector == 3, sector == 4],
+        [v, q, p, p, t], default=v)
+    g = jnp.select(
+        [sector == 0, sector == 1, sector == 2, sector == 3, sector == 4],
+        [t, v, v, q, p], default=p)
+    b = jnp.select(
+        [sector == 0, sector == 1, sector == 2, sector == 3, sector == 4],
+        [p, p, t, v, v], default=q)
+    rgb = jnp.stack([r, g, b], axis=-1)
+    grey = jnp.stack([v, v, v], axis=-1)
+    return jnp.where((s <= 0.0)[..., None], grey, rgb)

@@ -1011,9 +1011,14 @@ def _mega_flat_multi(scene, cameras, coords, *, batch, pixels_per_lane=1,
     xs, ys, pix = _flat_coords(coords, batch, width, height)
     uv = pixel_uv(xs, ys, width, height)
     ro0, rd0 = make_ray(cameras[0], uv)
+    # A 1-tuple marks an all-identical camera pack (the progressive /
+    # noise-varying video shape): pass cameras=None so the megakernel's
+    # shared frame-start direction table engages and the operand
+    # footprint stays one frame's worth regardless of pack depth.
     mean, segs, iters = run_megakernel(
         scene, ro0, rd0, pix, coords[1],
-        sample_offset=coords[2], camera=cameras[0], cameras=cameras,
+        sample_offset=coords[2], camera=cameras[0],
+        cameras=None if len(cameras) == 1 else cameras,
         pixels_per_lane=pixels_per_lane * frames_per_batch,
         frames_per_batch=frames_per_batch, **statics,
     )
@@ -1057,8 +1062,15 @@ def render_batch_flat_frames(
     b = _flat_batch_size(cfg)
     statics = _mega_statics(cfg, cfg.width, cfg.height)
     coords = jnp.asarray([start, frame_index, sample_offset], jnp.int32)
+    # Static-camera packs (bench steady blocks, anim's unchanged-scene
+    # packs) collapse to a 1-tuple so the megakernel's periodic
+    # rd-table sharing engages (identity check only — free, and the
+    # callers that pack construct `(cam,) * n`).
+    cams = tuple(cameras)
+    if all(c is cams[0] for c in cams[1:]):
+        cams = (cams[0],)
     return _mega_flat_multi(
-        scene, tuple(cameras), coords, batch=b,
+        scene, cams, coords, batch=b,
         pixels_per_lane=cfg.pixels_per_lane, frames_per_batch=f, **statics
     )
 
