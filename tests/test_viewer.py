@@ -122,3 +122,51 @@ def test_terminal_session_scripted(scene, tmp_path):
     assert ses.cfg.rays_per_pixel == 2  # the '+' command
     assert ses.cfg.max_bounces == 4  # the ']' command
     assert ses.picked is None  # 'u' undid the tint
+
+
+def test_render_passes_double_buffered_bitwise(scene, monkeypatch):
+    """render_passes must (a) dispatch pass k+1's device work BEFORE
+    materialising pass k (the double-buffered delivery), and (b) be
+    bitwise-identical to the sequential render_pass loop."""
+    cfg = CFG.replace(rays_per_batch=256, compaction_threshold=0)
+    seq = ViewerSession(scene, cfg)
+    for _ in range(3):
+        seq.render_pass()
+
+    dd = ViewerSession(scene, cfg)
+    events = []
+    orig_dispatch = ViewerSession._dispatch_pass
+    orig_acc = ViewerSession._accumulate
+
+    def spy_dispatch(self, frame_index):
+        events.append(("dispatch", frame_index))
+        return orig_dispatch(self, frame_index)
+
+    def spy_acc(self, bufs):
+        events.append(("accumulate", self.num_passes))
+        return orig_acc(self, bufs)
+
+    monkeypatch.setattr(ViewerSession, "_dispatch_pass", spy_dispatch)
+    monkeypatch.setattr(ViewerSession, "_accumulate", spy_acc)
+    out = dd.render_passes(3)
+
+    assert events == [
+        ("dispatch", 0),
+        ("dispatch", 1), ("accumulate", 0),   # pass 1 in flight while 0 ships
+        ("dispatch", 2), ("accumulate", 1),
+        ("accumulate", 2),
+    ]
+    assert dd.num_passes == seq.num_passes == 3
+    np.testing.assert_array_equal(out, seq.display())
+
+
+def test_render_passes_fallback_non_flat(scene):
+    """Configs off the flat fast path fall back to sequential passes
+    with identical results."""
+    cfg = CFG.replace(rays_per_batch=0)  # tile path only
+    seq = ViewerSession(scene, cfg)
+    seq.render_pass()
+    seq.render_pass()
+    dd = ViewerSession(scene, cfg)
+    out = dd.render_passes(2)
+    np.testing.assert_array_equal(out, seq.display())

@@ -44,6 +44,13 @@ def set_mesh_yaw(scene: Scene, mesh_index: int, yaw: float) -> Scene:
             "is fused into the static world sweep; re-freeze the scene "
             "with a non-identity transform to animate it"
         )
+    if getattr(scene, "mega_tlas", False):
+        raise ValueError(
+            "this scene froze its instance transforms into the TLAS row "
+            "bank (instance count > config.MEGA_TLAS_THRESHOLD); rebuild "
+            "and re-freeze per frame to animate, or raise the threshold "
+            "to keep transforms traced"
+        )
     return scene.replace(
         mesh_yaw=scene.mesh_yaw.at[mesh_index].set(np.float32(yaw))
     )

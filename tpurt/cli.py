@@ -255,7 +255,13 @@ def main(argv=None) -> int:
     if args.view:
         from tpurt.viewer import run_terminal
 
-        run_terminal(scene, cfg, preview_path="preview.bmp")
+        # Interactive sessions default to the PLAIN flat mega schedule:
+        # the staged/compaction driver's internal host reads serialise
+        # against the double-buffered pass delivery (viewer
+        # render_passes), and at viewer frame sizes the plain path's
+        # latency wins (bench parity row).
+        run_terminal(scene, cfg.replace(compaction_threshold=0),
+                     preview_path="preview.bmp")
         return 0
 
     if args.frames > 1:

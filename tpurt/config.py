@@ -42,6 +42,19 @@ IOR_AIR = 1.0
 #: compile-viable form past ~100.
 SELECT_GATHER_THRESHOLD = 64
 
+#: Instanced-mesh count above which scene freeze emits a TLAS (top-
+#: level BVH over instances): instance transforms/bounds become DATA
+#: ROWS in the megakernel's narrow bank and chain-enter becomes a
+#: traversal step, so loop-body size stops growing O(K) with the
+#: instance count and the crashing K>64 many-gather while_loop
+#: (probe r62, the axon worker fault) is never needed. At or below the
+#: threshold the unrolled select-chain entries stay — measured right
+#: for small K (each enter is a handful of fused VPU ops; the TLAS
+#: costs ~1 extra gathered row per entered instance). Replaces the
+#: reference's O(K)-per-ray mesh loop (src/Trace.cl:444-482) with an
+#: O(log K) structure it never had.
+MEGA_TLAS_THRESHOLD = 8
+
 #: Maximum chain entries the megakernel's enter step will advance past
 #: IN-PLACE when their root pretests fail (the chain skip). Each step
 #: unrolls one more _enter/_pretest round into the loop body, so the
@@ -163,6 +176,15 @@ MEGA_MAT_PRUNE = True
 #: hit results are identical, only traversal work changes. Baked into
 #: the Scene at freeze (Scene.mega_bounds_fmt).
 MEGA_BF16_BOUNDS = False
+
+#: Dense-sweep accept tests in numerator form (render/plucker_fused):
+#: the sign of det folds into the u/v numerators, compared against
+#: |det| directly, so the divided u/v are never materialised. t's
+#: division survives (the winner fold needs comparable distances), so
+#: this trades 2 multiplies for ~4 selects/negates — measured on the
+#: teapot-720p row before shipping a default (probe r73). Read at
+#: TRACE time (probes sweep it with jax.clear_caches()).
+DENSE_NUMERATOR_ACCEPT = False
 
 #: PROBE-ONLY: replace the per-iteration row gather with a broadcast of
 #: row 0 (same shape, no gather engine). Renders garbage — exists so

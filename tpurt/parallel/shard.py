@@ -220,6 +220,7 @@ def render_frame_sharded(
     mesh: Optional[Mesh] = None,
     overdecompose: int = 1,
     stats: Optional[dict] = None,
+    replicate_out: Optional[bool] = None,
 ) -> np.ndarray:
     """Full-frame mean radiance (H, W, 3) float32 over the device mesh.
 
@@ -260,7 +261,14 @@ def render_frame_sharded(
             scene, camera, frame_index,
             cfg=cfg, mesh=mesh, n_tile=n_tile, n_sample=n_sample,
             block_px=block_px, blocks_per_dev=k, batch=batch,
-            replicate_out=jax.process_count() > 1,
+            # Default: replicate (all_gather) only when shards live in
+            # different processes. Overridable so single-process dryruns
+            # can force the all_gather lowering through the compiler
+            # (the multi-host merge semantics, image.hpp:255-277).
+            replicate_out=(
+                jax.process_count() > 1
+                if replicate_out is None else bool(replicate_out)
+            ),
         )
         if stats is not None:
             stats["segments"] = float(np.asarray(segs))

@@ -95,6 +95,15 @@ _SLOT_MASK = np.uint32((1 << MEGA_SLOT_BITS) - 1)
 #: clear = a (row << SLOT_BITS | slot) parent resume. Row indices stay
 #: < 2^26 so resume entries never set it; _EMPTY is tested first.
 _TAG = np.uint32(0x80000000)
+#: TLAS regime only (builder.MEGA_ITAG): meta bit 28 marks "target is
+#: an INSTANCE row" in node-row child slots and resolved stack entries;
+#: the same bit on a _TAG entry whose lane is in_inst is the instance
+#: EXIT MARKER. Targets stay < 2^27 (freeze assert) so plain metas
+#: never set it.
+_ITAG = np.uint32(1 << 28)
+_ITAG_I = np.int32(1 << 28)
+#: Meta target mask (bits 0..27: target << 1 | is_leaf).
+_META_T = np.int32((1 << 28) - 1)
 _EPS = np.float32(EPSILON)
 
 # Packed chain-parameter table columns (one (E, 21) f32 matrix so both
@@ -168,6 +177,15 @@ class _Lane(NamedTuple):
     c_back: jnp.ndarray
     c_mesh: jnp.ndarray
     c_dst: jnp.ndarray
+    # TLAS (instance-as-data) regime only — None otherwise, so the
+    # leaves drop out of the streamed state for unrolled-chain scenes
+    # (the cache-field pattern above).
+    in_inst: jnp.ndarray = None  # (R,) bool — inside an instance subtree
+    cur_inst: jnp.ndarray = None  # (R,) bool — cur is an INSTANCE row
+    inst_mesh: jnp.ndarray = None  # (R,) i32 — owner mesh, stashed at enter
+    inst_scale: jnp.ndarray = None  # (R,) f32 — instance scale (1.0 outside)
+    inst_cull: jnp.ndarray = None  # (R,) bool — backface-cull policy
+    inst_os: jnp.ndarray = None  # (R,) bool — OneSided rejection at exit
 
 
 class _Slots(NamedTuple):
@@ -205,7 +223,17 @@ class _ChainParams(NamedTuple):
 def _chain_params(scene: Scene) -> _ChainParams:
     rows = []
     for mesh_idx, _root, _leaf in scene.mega_chain:
-        if mesh_idx < 0:  # fused static entry: identity transform
+        if mesh_idx == -2:  # TLAS entry: identity transform, world-
+            # space union bounds of all instances as the pretest box
+            b = scene.mega_tlas_bounds
+            rows.append(jnp.asarray(
+                [0.0, 0.0, 0.0,
+                 1.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 1.0,
+                 1.0, 0.0, 1.0,
+                 b[0], b[1], b[2], b[3], b[4], b[5]],
+                dtype=jnp.float32,
+            ))
+        elif mesh_idx < 0:  # fused static entry: identity transform
             rows.append(jnp.asarray(
                 [0.0, 0.0, 0.0,  # pos
                  1.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 1.0,  # rot
@@ -243,7 +271,11 @@ def _chain_params(scene: Scene) -> _ChainParams:
         bool(cfg.MEGA_ROOT_EXPAND)
         and len(scene.mega_chain) <= cfg.MEGA_ROOT_EXPAND_MAX_E
         and not leaf
-        for leaf in chain_leaf
+        # TLAS roots hold ITAG-tagged instance metas the expansion's
+        # meta decode does not handle — one root-gather iteration per
+        # entered TLAS traversal instead.
+        and m != -2
+        for m, _, leaf in scene.mega_chain
     )
     roots_f = roots_i = None
     if any(expand):
@@ -474,12 +506,27 @@ def _mt_inline(lo: V3, ld: V3, col, base, cull):
     return ok, t, n, backface, aux
 
 
-def _static_cull(mats, num_meshes: int, owner: jnp.ndarray) -> jnp.ndarray:
+def _static_cull(mats, num_meshes: int, owner: jnp.ndarray,
+                 candidates=None) -> jnp.ndarray:
     """Backface-cull policy by owner mesh id (cull unless
-    Glassy/Invisible/OneSided, Trace.cl:460-462)."""
+    Glassy/Invisible/OneSided, Trace.cl:460-462). ``candidates``
+    (static tuple) restricts the select chain to the mesh ids that can
+    actually appear as owners at the call site — ids outside it default
+    to cull=True, which callers guarantee is never read."""
     from tpurt.config import SELECT_GATHER_THRESHOLD
     from tpurt.render.shading import MAT_TYPE
 
+    if candidates is not None:
+        cull_f = jnp.ones(owner.shape, _F32)
+        for i in candidates:
+            mt = mats[int(i), MAT_TYPE]
+            c = (
+                (mt != float(int(MaterialType.GLASSY)))
+                & (mt != float(int(MaterialType.INVISIBLE)))
+                & (mt != float(int(MaterialType.ONE_SIDED)))
+            ).astype(_F32)
+            cull_f = jnp.where(owner == int(i), c, cull_f)
+        return cull_f != 0.0
     if num_meshes > SELECT_GATHER_THRESHOLD:
         # Gather regime (XLA body only — see _sel).
         mt = mats[jnp.clip(owner, 0, num_meshes - 1), MAT_TYPE]
@@ -735,6 +782,12 @@ def _body_math(
     leaf_tris: int = 8,  # inline triangles per leaf row (static; must
     #   match the scene's bank layout, Scene.mega_leaf_tris)
     arity: int = 32,  # children per node row (Scene.mega_arity)
+    tlas: bool = False,  # instance-as-data regime (Scene.mega_tlas):
+    #   compile the instance enter/exit branches — node-row metas may
+    #   carry the MEGA_ITAG instance bit, and the lane state's
+    #   in_inst/cur_inst/inst_* fields are live
+    static_leaf_owners: tuple = None,  # TLAS: static owner-id set for
+    #   the fused static entry's leaf-row aux words
     dense_hit=None,  # (t, normal V3, backface, mesh) from the fused
     #   dense sweep — replaces the BVH walk when set (dense mode)
 ) -> _Lane:
@@ -809,8 +862,67 @@ def _body_math(
 
         entry_c = jnp.minimum(s.entry, e_count - 1)
         scale_e = _sel(params.table, entry_c, e_count, _CP_SCALE)
+        if tlas:
+            # The lane's CURRENT frame scale: the stashed instance scale
+            # inside an instance subtree, the entry's (identity) scale
+            # at TLAS/static level — limits and folds follow the frame.
+            scale_e = jnp.where(s.in_inst, s.inst_scale, scale_e)
         safe_e = jnp.where(jnp.abs(scale_e) > _EPS, scale_e, _F32(1.0))
         limit = jnp.minimum(s.lt, s.w_dst / safe_e * _F32(1.001))
+
+        # --- instance branch (TLAS): the gathered row is an INSTANCE
+        # row — enter (WorldToLocalRay + root pretest, the data form of
+        # _enter/_pretest) or exit (LocalToWorldHit fold, the data form
+        # of the per-entry fold below). See builder MEGA_INST_ROW_WORDS
+        # for the row layout.
+        if tlas:
+            inst_on = trav & s.cur_inst
+            inst_enter = inst_on & ~s.in_inst
+            inst_exit = inst_on & s.in_inst
+
+            def _irot_t(v: V3) -> V3:  # out_i = sum_j rot[j][i] * v_j
+                return V3(
+                    col(3) * v.x + col(6) * v.y + col(9) * v.z,
+                    col(4) * v.x + col(7) * v.y + col(10) * v.z,
+                    col(5) * v.x + col(8) * v.y + col(11) * v.z,
+                )
+
+            def _irot_f(v: V3) -> V3:  # out_i = sum_j rot[i][j] * v_j
+                return V3(
+                    col(3) * v.x + col(4) * v.y + col(5) * v.z,
+                    col(6) * v.x + col(7) * v.y + col(8) * v.z,
+                    col(9) * v.x + col(10) * v.y + col(11) * v.z,
+                )
+
+            i_pos = V3(col(0), col(1), col(2))
+            i_scale = col(12)
+            i_flags = lax.bitcast_convert_type(col(13), jnp.int32)
+            i_mesh = lax.bitcast_convert_type(col(14), jnp.int32)
+            i_rootmeta = lax.bitcast_convert_type(col(15), jnp.int32)
+            i_safe = jnp.where(jnp.abs(i_scale) > _EPS, i_scale, _F32(1.0))
+            # Enter: exactly _enter's op order (WorldToLocalRay,
+            # Trace.cl:118-137), then _pretest's slab against the local
+            # root bounds; degenerate scale skips the mesh up front
+            # (Trace.cl:448-449 — equivalent to the unrolled fold's
+            # scale>eps rejection, just earlier).
+            lo_i = _irot_t(s.origin - i_pos) / i_safe
+            ld_i = v3lib.normalize(_irot_t(s.direction) / i_safe)
+            lid_i = V3(1.0 / ld_i.x, 1.0 / ld_i.y, 1.0 / ld_i.z)
+            i_rmin = V3(col(16), col(17), col(18))
+            i_rmax = V3(col(19), col(20), col(21))
+            pre_i, _ = _aabb_soa(
+                lo_i, lid_i, i_rmin, i_rmax,
+                s.w_dst / i_safe * _F32(1.001),
+            )
+            enter_ok = inst_enter & pre_i & (i_scale > _EPS)
+            inst_skip = inst_enter & ~(pre_i & (i_scale > _EPS))
+            # Exit: LocalToWorldHit (Trace.cl:139-156) on the stashed
+            # local best — exactly the per-entry fold's op order.
+            fold_i = inst_exit & (s.lmesh >= 0) & ~(s.inst_os & s.lback)
+            point_li = s.lo + s.ld * s.lt
+            point_wi = _irot_f(point_li * i_scale) + i_pos
+            n_wi = v3lib.normalize(_irot_f(s.lnrm))
+            dst_i = v3lib.length(point_wi - s.origin)
 
         # --- leaf branch: inline exact MT tests -------------------
         leaf_on = trav & s.cur_leaf
@@ -821,11 +933,17 @@ def _body_math(
         for k in range(leaf_tris):
             aux_raw = lax.bitcast_convert_type(col(19 * k + 18), jnp.int32)
             cull = _bsel(
-                is_static, _static_cull(mats, num_meshes, aux_raw),
+                is_static,
+                _static_cull(mats, num_meshes, aux_raw,
+                             candidates=static_leaf_owners),
                 cull_mesh_e,
             )
+            if tlas:
+                cull = _bsel(s.in_inst, s.inst_cull, cull)
             ok, t, n, backface, aux = _mt_inline(s.lo, s.ld, col, 19 * k, cull)
             cand_mesh = jnp.where(is_static, aux, entry_mesh)
+            if tlas:
+                cand_mesh = jnp.where(s.in_inst, s.inst_mesh, cand_mesh)
             win = leaf_on & ok & (t < lt)
             lt = jnp.where(win, t, lt)
             lnrm = v3lib.where(win, n, lnrm)
@@ -840,6 +958,8 @@ def _body_math(
         # bound prunes far siblings. cur_slot is a priority threshold
         # for resuming a popped node.
         node_on = trav & ~s.cur_leaf
+        if tlas:
+            node_on &= ~s.cur_inst
         if bounds_fmt != "bf16":
             grid_o = V3(col(0), col(1), col(2))
             grid_s = V3(col(3), col(4), col(5))
@@ -923,6 +1043,22 @@ def _body_math(
             | (second_prio + 1).astype(jnp.uint32)
         )
         child_entry = _TAG | second_meta.astype(jnp.uint32)
+        if tlas:
+            # Instance transitions ride the same push/pop cascades: a
+            # passing enter pushes the EXIT MARKER (a resolved entry
+            # targeting this instance row — popped when the subtree
+            # drains, routing the lane back through the row in exit
+            # mode); a failed pretest or a finished exit pops the TLAS
+            # continuation. Enter/exit lanes are disjoint from the
+            # node/leaf sets (cur kinds are exclusive).
+            marker = (
+                _TAG | _ITAG
+                | (jnp.where(inst_on, s.cur, 0).astype(jnp.uint32)
+                   << jnp.uint32(1))
+            )
+            child_entry = jnp.where(enter_ok, marker, child_entry)
+            push_child = push_child | enter_ok
+            pop = pop | inst_skip | inst_exit
         top = s.stack[0]
         top_empty = top == _EMPTY
         pop_shift = pop & ~top_empty
@@ -946,7 +1082,10 @@ def _body_math(
         cur_leaf = s.cur_leaf
         cur_slot = s.cur_slot
         # descend into the first hit child
-        cur = jnp.where(descend, first_meta >> 1, cur)
+        if tlas:
+            cur = jnp.where(descend, (first_meta & _META_T) >> 1, cur)
+        else:
+            cur = jnp.where(descend, first_meta >> 1, cur)
         cur_leaf = _bsel(descend, (first_meta & 1) == 1, cur_leaf)
         cur_slot = jnp.where(descend, 0, cur_slot)
         # pop: a resolved child meta (tag bit), a saved (row, slot)
@@ -954,9 +1093,15 @@ def _body_math(
         resume = pop & ~top_empty
         top_resolved = (top & _TAG) != 0
         top_meta = top & np.uint32(0x7FFFFFFF)
+        if tlas:
+            pop_target = (
+                (top_meta.astype(jnp.int32) & _META_T) >> jnp.int32(1)
+            )
+        else:
+            pop_target = (top_meta >> jnp.uint32(1)).astype(jnp.int32)
         cur_popped = jnp.where(
             top_resolved,
-            (top_meta >> jnp.uint32(1)).astype(jnp.int32),
+            pop_target,
             (top >> jnp.uint32(MEGA_SLOT_BITS)).astype(jnp.int32),
         )
         slot_popped = jnp.where(
@@ -968,6 +1113,61 @@ def _body_math(
             resume, top_resolved & ((top_meta & jnp.uint32(1)) == 1), cur_leaf
         )
         cur = jnp.where(pop & top_empty, -1, cur)
+        if tlas:
+            # Instance descend (enter) + cur-kind bookkeeping: metas
+            # with the ITAG bit target instance rows; popping the exit
+            # marker (ITAG while in_inst) routes the lane back through
+            # the instance row in exit mode.
+            cur = jnp.where(enter_ok, (i_rootmeta & _META_T) >> 1, cur)
+            cur_leaf = _bsel(enter_ok, (i_rootmeta & 1) == 1, cur_leaf)
+            cur_slot = jnp.where(enter_ok, 0, cur_slot)
+            cur_inst = s.cur_inst
+            cur_inst = _bsel(descend, (first_meta & _ITAG_I) != 0, cur_inst)
+            cur_inst = _bsel(
+                resume, top_resolved & ((top_meta & _ITAG) != 0), cur_inst
+            )
+            cur_inst = cur_inst & ~enter_ok & ~(pop & top_empty)
+            in_inst = (s.in_inst | enter_ok) & ~inst_exit
+            inst_mesh = jnp.where(enter_ok, i_mesh, s.inst_mesh)
+            inst_scale = jnp.where(enter_ok, i_scale, s.inst_scale)
+            inst_cull = _bsel(
+                enter_ok, (i_flags & jnp.int32(2)) != 0, s.inst_cull
+            )
+            inst_os = _bsel(
+                enter_ok, (i_flags & jnp.int32(1)) != 0, s.inst_os
+            )
+            # Ray-frame switches: the transformed local ray at enter,
+            # the (identity) world ray — recomputed with _enter's exact
+            # op sequence — at exit.
+            lo_w, ld_w, lid_w, _r_w, _l_w = _enter(
+                params, e_count, s.entry, s.origin, s.direction
+            )
+            lo_n = v3lib.where(enter_ok, lo_i, v3lib.where(
+                inst_exit, lo_w, s.lo))
+            ld_n = v3lib.where(enter_ok, ld_i, v3lib.where(
+                inst_exit, ld_w, s.ld))
+            lid_n = v3lib.where(enter_ok, lid_i, v3lib.where(
+                inst_exit, lid_w, s.lid))
+            # Exit fold into the world best (before the entry-level
+            # fold below, which rebases on these), then local reset.
+            closer_i = fold_i & (dst_i < s.w_dst)
+            w_valid_b = s.w_valid | closer_i
+            w_dst_b = jnp.where(closer_i, dst_i, s.w_dst)
+            w_point_b = v3lib.where(closer_i, point_wi, s.w_point)
+            w_normal_b = v3lib.where(closer_i, n_wi, s.w_normal)
+            w_back_b = _bsel(closer_i, s.lback, s.w_back)
+            w_mesh_b = jnp.where(closer_i, s.lmesh, s.w_mesh)
+            lt = jnp.where(inst_exit, _INF, lt)
+            lnrm = v3lib.where(inst_exit, zero3, lnrm)
+            lback = lback & ~inst_exit
+            lmesh = jnp.where(inst_exit, -1, lmesh)
+        else:
+            cur_inst = in_inst = None
+            inst_mesh = inst_scale = inst_cull = inst_os = None
+            lo_n, ld_n, lid_n = s.lo, s.ld, s.lid
+            w_valid_b, w_dst_b = s.w_valid, s.w_dst
+            w_point_b, w_normal_b = s.w_point, s.w_normal
+            w_back_b, w_mesh_b = s.w_back, s.w_mesh
 
         # ---------------- NEXT-MESH: fold + enter --------------------
         fin = ~s.done & (s.entry < e_count) & (cur < 0)
@@ -982,13 +1182,17 @@ def _body_math(
         )
         n_w = v3lib.normalize(_rot_fwd(params.table, entry_c, e_count, lnrm))
         dst = v3lib.length(point_w - s.origin)
-        closer = lvalid & (dst < s.w_dst)
-        w_valid = _bsel(fin, s.w_valid | closer, s.w_valid)
-        w_dst = jnp.where(closer, dst, s.w_dst)
-        w_point = v3lib.where(closer, point_w, s.w_point)
-        w_normal = v3lib.where(closer, n_w, s.w_normal)
-        w_back = _bsel(closer, lback, s.w_back)
-        w_mesh = jnp.where(closer, lmesh, s.w_mesh)
+        # Rebased on the instance-exit fold (w_*_b aliases s.w_* in the
+        # unrolled-chain regime): an exit and an entry completion can
+        # land in the same iteration, and the exit's winner must
+        # survive into the entry fold's base.
+        closer = lvalid & (dst < w_dst_b)
+        w_valid = _bsel(fin, w_valid_b | closer, w_valid_b)
+        w_dst = jnp.where(closer, dst, w_dst_b)
+        w_point = v3lib.where(closer, point_w, w_point_b)
+        w_normal = v3lib.where(closer, n_w, w_normal_b)
+        w_back = _bsel(closer, lback, w_back_b)
+        w_mesh = jnp.where(closer, lmesh, w_mesh_b)
 
         entry = jnp.where(fin, s.entry + 1, s.entry)
         in_chain = fin & (entry < e_count)
@@ -1009,12 +1213,19 @@ def _body_math(
 
     # Post-traversal state: the tail below reads everything through
     # ``t`` so it can run MULTIPLE times per iteration (tail_passes).
-    t = s._replace(
+    rep = dict(
         entry=entry, cur=cur, cur_leaf=cur_leaf, cur_slot=cur_slot,
         stack=stack, lt=lt, lnrm=lnrm, lback=lback, lmesh=lmesh,
         w_valid=w_valid, w_dst=w_dst, w_point=w_point, w_normal=w_normal,
         w_back=w_back, w_mesh=w_mesh,
     )
+    if tlas:
+        rep.update(
+            lo=lo_n, ld=ld_n, lid=lid_n,
+            cur_inst=cur_inst, in_inst=in_inst, inst_mesh=inst_mesh,
+            inst_scale=inst_scale, inst_cull=inst_cull, inst_os=inst_os,
+        )
+    t = s._replace(**rep)
 
     from tpurt.config import MEGA_SKIP_CAP, SELECT_GATHER_THRESHOLD
 
@@ -1297,6 +1508,14 @@ def _body_math(
         else:
             lo, ld, lid = t.lo, t.ld, t.lid
 
+        if tlas:
+            # A lane that enters a chain entry starts at that entry's
+            # root (always a node row) in the world/identity frame.
+            cur_inst_t = t.cur_inst & ~entering
+            in_inst_t = t.in_inst & ~entering
+        else:
+            cur_inst_t, in_inst_t = t.cur_inst, t.in_inst  # None
+
         return _Lane(
             iters=t.iters,
             ro0=ro0, rd0=rd0, pix=pix, pixno=pixno, lane0=t.lane0,
@@ -1312,6 +1531,9 @@ def _body_math(
             w_back=w_back, w_mesh=w_mesh,
             c_set=c_set, c_valid=c_valid, c_point=c_point, c_normal=c_normal,
             c_back=c_back, c_mesh=c_mesh, c_dst=c_dst,
+            in_inst=in_inst_t, cur_inst=cur_inst_t, inst_mesh=t.inst_mesh,
+            inst_scale=t.inst_scale, inst_cull=t.inst_cull,
+            inst_os=t.inst_os,
         )
 
     # Pass 1 finishes segments whose traversal completed this iteration;
@@ -1446,6 +1668,12 @@ def run_megakernel(
 
     e_count = len(scene.mega_chain)
     params = _chain_params(scene) if e_count else None
+    tlas = bool(getattr(scene, "mega_tlas", False))
+    assert not (tlas and dense), (
+        "dense (brute-force) mode walks chain entries per mesh; freeze "
+        "TLAS scenes with MEGA_TLAS_THRESHOLD above the instance count "
+        "to use it"
+    )
     # Up to TWO entries per tree level (a resolved 2nd child + a parent
     # resume), so the register stack doubles the per-level budget.
     s_depth = 2 * scene.mega_stack_depth
@@ -1550,6 +1778,14 @@ def run_megakernel(
         c_back=falses if use_cache else None,
         c_mesh=zeros_i - 1 if use_cache else None,
         c_dst=jnp.full((r,), _INF, _F32) if use_cache else None,
+        # TLAS regime lane state (chain-entry roots are node rows, so
+        # cur_inst starts False; lanes start outside any instance).
+        in_inst=falses if tlas else None,
+        cur_inst=falses if tlas else None,
+        inst_mesh=zeros_i - 1 if tlas else None,
+        inst_scale=ones if tlas else None,
+        inst_cull=falses if tlas else None,
+        inst_os=falses if tlas else None,
     )
 
     if initial_state is not None:
@@ -1655,6 +1891,17 @@ def run_megakernel(
         bounds_fmt=scene.mega_bounds_fmt,
         leaf_tris=int(getattr(scene, "mega_leaf_tris", 8)),
         arity=int(getattr(scene, "mega_arity", 32)),
+        tlas=tlas,
+        # In the TLAS regime, only the fused static entry's leaf rows
+        # carry real owner ids in their aux words (instance leaves are
+        # resolved through the lane's stashed inst_mesh/inst_cull), so
+        # the per-slot owner-cull select chain shrinks to the static
+        # members instead of looping all K meshes.
+        static_leaf_owners=(
+            scene.mega_chain_members[0]
+            if tlas and e_count and scene.mega_chain[0][0] == -1
+            else None
+        ),
     )
 
     dense = bool(dense) and e_count > 0

@@ -158,14 +158,33 @@ def _sweep_kernel(feats_ref, lane_entry_ref, coeffs_ref, ids_ref, entry_ref,
         for k in range(4)
     ]  # det, u_num, v_num, t_num — each (RB, TC)
     det, u_num, v_num, t_num = planes
-    f = 1.0 / det
-    u = f * u_num
-    v = f * v_num
-    t = f * t_num
-    ok = jnp.abs(det) >= EPSILON
-    ok &= (u >= 0.0) & (u <= 1.0)
-    ok &= (v >= 0.0) & (u + v <= 1.0)
-    ok &= t > EPSILON
+    adet = jnp.abs(det)
+    ok = adet >= EPSILON
+    import tpurt.config as _c
+
+    if getattr(_c, "DENSE_NUMERATOR_ACCEPT", False):
+        # Numerator-form accepts (probe r73): fold the sign of det into
+        # the numerators and compare against |det| directly — the u/v
+        # DIVIDED values are never materialised (their two multiplies
+        # become selects); t's division survives because the min-fold
+        # below needs comparable distances. Knife-edge acceptance may
+        # differ by the usual ~1-ulp class (fast-dense contract).
+        neg = det < 0.0
+        un = jnp.where(neg, -u_num, u_num)
+        vn = jnp.where(neg, -v_num, v_num)
+        tn = jnp.where(neg, -t_num, t_num)
+        ok &= (un >= 0.0) & (un <= adet)
+        ok &= (vn >= 0.0) & (un + vn <= adet)
+        ok &= tn > EPSILON * adet
+        t = tn / adet
+    else:
+        f = 1.0 / det
+        u = f * u_num
+        v = f * v_num
+        t = f * t_num
+        ok &= (u >= 0.0) & (u <= 1.0)
+        ok &= (v >= 0.0) & (u + v <= 1.0)
+        ok &= t > EPSILON
     ok &= ids_ref[:] >= 0  # (1, TC) soup tri id; -1 marks column padding
     # Only the lane's CURRENT chain entry participates (the chain fold
     # processes entries sequentially, Trace.cl:444-482).

@@ -337,6 +337,151 @@ def _emit_mega_subtree(rows, nodes, root, tri_pos, tri_nrm, tri_mesh,
         return my, False, depth + 1
 
     return emit_node(root)
+
+
+#: Instance-row layout (TLAS regime): transform + routing data for one
+#: mesh instance, gathered by the megakernel's instance enter/exit
+#: branches exactly like node/leaf rows. 22 f32 words:
+#:   [0:3]  position, [3:12] row-major rotation (euler, bit-matching
+#:          vecmath.euler_rotation), [12] uniform scale,
+#:   [13]   bitcast i32 flags: bit0 one_sided, bit1 backface-cull
+#:          (cull unless Glassy/Invisible/OneSided, Trace.cl:460-462),
+#:   [14]   bitcast i32 owner mesh id,
+#:   [15]   bitcast i32 root meta (mesh BVH root_row << 1 | is_leaf),
+#:   [16:19]/[19:22] local root bounds (the uint16 quant grid's span —
+#:          the same f32 values the unrolled chain's pretest uses).
+MEGA_INST_ROW_WORDS = 22
+#: Meta bit marking "target is an INSTANCE row" in node-row child slots
+#: and stack entries (bit 28; targets stay < 2^27 by the freeze assert,
+#: so metas never set it accidentally).
+MEGA_ITAG = 1 << 28
+
+
+def _euler_np(pitch: float, yaw: float, roll: float) -> np.ndarray:
+    """float32 XYZ-Euler rotation bit-matching vecmath.euler_rotation
+    (same expressions and association order, numpy f32 instead of
+    traced jnp — freeze-time twin for baked instance rows)."""
+    p = np.float32(pitch)
+    y = np.float32(yaw)
+    r = np.float32(roll)
+    cx, sx = np.cos(p), np.sin(p)
+    cy, sy = np.cos(y), np.sin(y)
+    cz, sz = np.cos(r), np.sin(r)
+    return np.array([
+        [cy * cz, cy * sz, -sy],
+        [cz * sy * sx - cx * sz, cx * cz + sx * sy * sz, cy * sx],
+        [sx * sz + cx * cz * sy, cx * sy * sz - cz * sx, cx * cy],
+    ], np.float32)
+
+
+def _emit_tlas(rows, entries, bounds_fmt: str, row_width: int, arity: int):
+    """Emit the top-level BVH over instances as node rows in the same
+    bank format as _emit_mega_subtree's (u8-on-node-grid or bf16 child
+    bounds), with leaf-slot metas tagged MEGA_ITAG and pointing at
+    INSTANCE rows.
+
+    ``entries``: [(inst_row_idx, world_lo(3,f64), world_hi(3,f64))].
+    Returns (root_row, depth). Topology: recursive arity-wide split of
+    the instance list sorted along the widest axis (near-equal chunks),
+    child slots sorted along the node's widest axis like emit_node so
+    the kernel's direction-signed priority order prunes far siblings.
+    """
+    i32f = lambda v: np.array(v, np.int32).view(np.float32)
+
+    def bounds_of(items):
+        lo = np.min([e[1] for e in items], axis=0)
+        hi = np.max([e[2] for e in items], axis=0)
+        return lo, hi
+
+    def emit(items, force_node=False):
+        """-> (meta_sans_shift target, is_instance, lo, hi, depth)"""
+        if len(items) == 1 and not force_node:
+            row_idx, lo, hi = items[0]
+            return row_idx, True, lo, hi, 0
+        # Partition into up to ``arity`` chunks along the widest axis.
+        lo, hi = bounds_of(items)
+        axis = int(np.argmax(hi - lo))
+        items = sorted(items, key=lambda e: float(e[1][axis] + e[2][axis]))
+        n_chunks = min(arity, len(items))
+        cuts = [round(k * len(items) / n_chunks) for k in range(n_chunks + 1)]
+        chunks = [items[cuts[k]:cuts[k + 1]] for k in range(n_chunks)
+                  if cuts[k] < cuts[k + 1]]
+        my = len(rows)
+        rows.append(None)  # reserve (pre-order)
+        row = np.zeros(row_width, np.float32)
+        row[6] = i32f(axis)
+        kids = []
+        depth = 0
+        for ch in chunks:
+            t, is_inst, clo, chi, d = emit(ch)
+            depth = max(depth, d)
+            meta = (MEGA_ITAG | (t << 1)) if is_inst else (t << 1)
+            kids.append((meta, clo, chi))
+        # slot order: by centroid along the recorded axis (emit_node's
+        # contract with the kernel's priority machinery)
+        kids.sort(key=lambda k: float(k[1][axis] + k[2][axis]))
+        if bounds_fmt == "bf16":
+            u16f = lambda a, b: np.array(
+                np.uint32(a) | (np.uint32(b) << np.uint32(16)), np.uint32
+            ).view(np.float32)
+            for s_idx, (meta, clo, chi) in enumerate(kids):
+                lo16 = _bf16_dir(clo.astype(np.float32), up=False)
+                hi16 = _bf16_dir(chi.astype(np.float32), up=True)
+                base = 7 + 4 * s_idx
+                row[base] = u16f(lo16[0], lo16[1])
+                row[base + 1] = u16f(lo16[2], hi16[0])
+                row[base + 2] = u16f(hi16[1], hi16[2])
+                row[base + 3] = i32f(meta)
+            big, neg = np.uint16(0x7F7F), np.uint16(0xFF7F)
+            for s_idx in range(len(kids), arity):
+                base = 7 + 4 * s_idx
+                row[base] = u16f(big, big)
+                row[base + 1] = u16f(big, neg)
+                row[base + 2] = u16f(neg, neg)
+                row[base + 3] = 0.0
+        else:
+            scale = (hi - lo) / 255.0
+            origin32 = lo.astype(np.float32)
+            scale32 = np.where(scale > 0, scale, 0.0).astype(np.float32)
+            row[0:3] = origin32
+            row[3:6] = scale32
+            safe = np.where(scale32 > 0, scale32.astype(np.float64), 1.0)
+            dec = lambda q: origin32.astype(np.float64) + q * scale32.astype(
+                np.float64
+            )
+            for s_idx, (meta, clo, chi) in enumerate(kids):
+                ql = np.clip(np.floor((clo - origin32) / safe), 0, 255)
+                qh = np.clip(np.ceil((chi - origin32) / safe), 0, 255)
+                for _ in range(3):
+                    ql = np.where(dec(ql) > clo, np.maximum(ql - 1, 0), ql)
+                    qh = np.where(
+                        (dec(qh) < chi) & (scale32 > 0),
+                        np.minimum(qh + 1, 255), qh,
+                    )
+                ql = ql.astype(np.uint32)
+                qh = qh.astype(np.uint32)
+                w0 = ql[0] | (ql[1] << 8) | (ql[2] << 16) | (qh[0] << 24)
+                w1 = qh[1] | (qh[2] << 8)
+                base = 7 + 3 * s_idx
+                row[base] = np.array(w0, np.uint32).view(np.float32)
+                row[base + 1] = np.array(w1, np.uint32).view(np.float32)
+                row[base + 2] = i32f(meta)
+            for s_idx in range(len(kids), arity):
+                base = 7 + 3 * s_idx
+                row[base] = np.array(
+                    np.uint32(255 | (255 << 8) | (255 << 16)), np.uint32
+                ).view(np.float32)
+                row[base + 1] = 0.0
+                row[base + 2] = 0.0
+        rows[my] = row
+        return my, False, lo, hi, depth + 1
+
+    # force_node: the chain-entry root must be a NODE row (the enter
+    # step descends into it like any subtree root).
+    target, _is_inst, _lo, _hi, depth = emit(entries, force_node=True)
+    return target, depth
+
+
 from tpurt.config import CORNELL_BREATHING_ROOM
 from tpurt.scene.obj import load_obj as _load_obj_file
 from tpurt.scene.obj import parse_obj
@@ -759,9 +904,19 @@ class SceneBuilder:
             [tuple(static_members)] if static_members else []
         )
         emitted_roots: Dict[int, Tuple[int, bool]] = {}
-        for i, m in enumerate(self.meshes):
-            if i in static_members or i in inline_eligible or m.num_tris == 0:
-                continue
+        inst_list = [
+            i for i, m in enumerate(self.meshes)
+            if i not in static_members and i not in inline_eligible
+            and m.num_tris > 0
+        ]
+        use_tlas = len(inst_list) > int(
+            getattr(_cfgmod, "MEGA_TLAS_THRESHOLD", 8)
+        )
+        tlas_bounds: Tuple[float, ...] = ()
+        inst_roots: Dict[int, Tuple[int, bool]] = {}
+        inst_depth = 0
+        for i in inst_list:
+            m = self.meshes[i]
             if m.node_idx in emitted_roots:
                 root_row, root_leaf = emitted_roots[m.node_idx]
             else:
@@ -770,10 +925,93 @@ class SceneBuilder:
                     tri_pos, tri_nrm, None, bounds_fmt=bounds_fmt,
                     leaf_tris=leaf_tris, row_width=row_width, arity=arity,
                 )
-                mega_depth = max(mega_depth, d)
+                inst_depth = max(inst_depth, d)
+                if not use_tlas:
+                    mega_depth = max(mega_depth, d)
                 emitted_roots[m.node_idx] = (root_row, root_leaf)
-            chain.append((i, root_row, root_leaf))
-            chain_members.append((i,))
+            inst_roots[i] = emitted_roots[m.node_idx]
+            if not use_tlas:
+                chain.append((i, root_row, root_leaf))
+                chain_members.append((i,))
+        if use_tlas:
+            # Many-instance regime: entries become DATA — one instance
+            # row per mesh (transform baked at freeze) under a world-
+            # space top-level BVH; the chain gets ONE (-2) entry. The
+            # unrolled per-entry enter/pretest stages (and the crashing
+            # K>64 many-gather regime, probe r62) are never emitted.
+            assert row_width >= MEGA_INST_ROW_WORDS, (
+                f"bank width {row_width} cannot hold an instance row"
+            )
+            assert len(mega_rows_list) + 2 * len(inst_list) < (1 << 27)
+            i32f_ = lambda v: np.array(v, np.int32).view(np.float32)
+            tlas_entries = []
+            for i in inst_list:
+                m = self.meshes[i]
+                root_row, root_leaf = inst_roots[i]
+                gmin32, scale32 = root_params[m.node_idx]
+                rmin = gmin32
+                rmax = (gmin32 + np.float32(65535.0) * scale32).astype(
+                    np.float32
+                )
+                rot = _euler_np(m.pitch, m.yaw, m.roll)
+                row = np.zeros(row_width, np.float32)
+                row[0:3] = np.asarray(m.pos, np.float32)
+                row[3:12] = rot.reshape(9)
+                row[12] = np.float32(m.scale)
+                mt = int(m.material.type)
+                os_f = 1 if mt == int(MaterialType.ONE_SIDED) else 0
+                cull_f = 0 if mt in (
+                    int(MaterialType.GLASSY), int(MaterialType.INVISIBLE),
+                    int(MaterialType.ONE_SIDED),
+                ) else 1
+                row[13] = i32f_(os_f | (cull_f << 1))
+                row[14] = i32f_(i)
+                row[15] = i32f_((root_row << 1) | (1 if root_leaf else 0))
+                row[16:19] = rmin
+                row[19:22] = rmax
+                inst_row = len(mega_rows_list)
+                mega_rows_list.append(row)
+                # Conservative world AABB: rotate the local root box's
+                # 8 corners in float64, pad one f32 ulp outward.
+                sc = np.float64(m.scale)
+                r64 = rot.astype(np.float64)
+                pos64 = np.asarray(m.pos, np.float64)
+                cs = np.array([
+                    [rmin[0] if (k & 1) == 0 else rmax[0],
+                     rmin[1] if (k & 2) == 0 else rmax[1],
+                     rmin[2] if (k & 4) == 0 else rmax[2]]
+                    for k in range(8)
+                ], np.float64)
+                world = (cs * sc) @ r64.T + pos64
+                wlo = np.nextafter(
+                    world.min(axis=0).astype(np.float32), -np.inf
+                ).astype(np.float64)
+                whi = np.nextafter(
+                    world.max(axis=0).astype(np.float32), np.inf
+                ).astype(np.float64)
+                tlas_entries.append((inst_row, wlo, whi))
+            tlas_root, tlas_depth = _emit_tlas(
+                mega_rows_list, tlas_entries, bounds_fmt, row_width, arity
+            )
+            chain.append((-2, tlas_root, False))
+            chain_members.append(tuple(inst_list))
+            # Stack budget: TLAS pushes + the exit marker + the deepest
+            # instance subtree.
+            mega_depth = max(mega_depth, tlas_depth + 1 + inst_depth)
+            ulo = np.min([e[1] for e in tlas_entries], axis=0)
+            uhi = np.max([e[2] for e in tlas_entries], axis=0)
+            tlas_bounds = tuple(float(v) for v in ulo) + tuple(
+                float(v) for v in uhi
+            )
+            import sys
+
+            print(
+                f"tpurt: {len(inst_list)} instanced meshes > TLAS "
+                f"threshold {getattr(_cfgmod, 'MEGA_TLAS_THRESHOLD', 8)} "
+                f"— routing through the instance-row TLAS (depth "
+                f"{tlas_depth}); transforms are baked (re-freeze to "
+                f"animate)", file=sys.stderr,
+            )
 
         mega_rows = (
             np.stack(mega_rows_list)
@@ -840,6 +1078,8 @@ class SceneBuilder:
             mega_bounds_fmt=bounds_fmt,
             mega_leaf_tris=leaf_tris,
             mega_arity=arity,
+            mega_tlas=use_tlas,
+            mega_tlas_bounds=tlas_bounds,
             mesh_mat_types=tuple(int(m.material.type) for m in self.meshes),
             mesh_identity=tuple(
                 tuple(np.asarray(m.pos, np.float64).tolist()) == (0.0, 0.0, 0.0)

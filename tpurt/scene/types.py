@@ -186,6 +186,21 @@ class Scene:
     #: Children per node row in mega_rows (builder MEGA_ARITY /
     #: config.MEGA_NODE_ARITY override; static in the kernel).
     mega_arity: int = struct.field(pytree_node=False, default=32)
+    #: Instance-level acceleration (TLAS): True when freeze routed the
+    #: non-identity meshes through a top-level BVH of INSTANCE ROWS in
+    #: mega_rows (the many-instance regime, builder MEGA_TLAS_THRESHOLD)
+    #: instead of one unrolled chain entry per mesh. The megakernel then
+    #: compiles the instance enter/exit branches and the chain holds one
+    #: (-2, tlas_root, False) entry covering every instanced mesh.
+    #: Instance transforms are BAKED into the rows at freeze — post-
+    #: freeze transform edits (anim.set_mesh_yaw) require a re-freeze.
+    mega_tlas: bool = struct.field(pytree_node=False, default=False)
+    #: World-space union bounds of all TLAS instances
+    #: (lo.xyz + hi.xyz, 6 floats) — the -2 chain entry's root pretest
+    #: box. Empty when mega_tlas is False.
+    mega_tlas_bounds: Tuple[float, ...] = struct.field(
+        pytree_node=False, default=()
+    )
 
     @property
     def num_triangles(self) -> int:

@@ -197,6 +197,77 @@ class ViewerSession:
         self.num_passes += 1
         return self.display()
 
+    # -- double-buffered multi-pass (the anim.py delivery overlap) ---------
+
+    def _dispatch_pass(self, frame_index: int):
+        """Dispatch one whole-frame pass's device work WITHOUT reading
+        it back (the radiance batch buffers stay lazy); None when the
+        flat mega fast path does not apply (caller falls back to the
+        sequential render_pass)."""
+        cfg = self.cfg
+        fast = (
+            cfg.engine == "mega" and cfg.rays_per_batch > 0
+            and cfg.max_bounces > 0
+            and not (cfg.sample_flatten and cfg.rays_per_pixel > 1)
+            and not cfg.compaction_threshold  # staged driver blocks on
+            #                                   host reads internally
+        )
+        if not fast:
+            return None
+        from tpurt.render.renderer import _flat_batch_size, render_batch_flat
+
+        total = cfg.width * cfg.height
+        b = _flat_batch_size(cfg) * cfg.pixels_per_lane
+        bufs = []
+        for i in range(-(-total // b)):
+            mean, _, _ = render_batch_flat(
+                self.scene, self.camera(), cfg, i * b,
+                frame_index=frame_index,
+            )
+            bufs.append(mean)
+        return bufs
+
+    def _accumulate(self, bufs) -> None:
+        """Materialise a dispatched pass into the integration buffer
+        (the host read the double-buffered loop defers)."""
+        total = self.cfg.width * self.cfg.height
+        flat = np.zeros((total, 3), np.float32)
+        start = 0
+        for t in bufs:
+            t_np = np.asarray(t)
+            n = min(t_np.shape[0], total - start)
+            flat[start : start + n] = t_np[:n]
+            start += n
+        self._acc += flat.reshape(self.cfg.height, self.cfg.width, 3)
+        self.num_passes += 1
+
+    def render_passes(self, n: int) -> np.ndarray:
+        """``n`` progressive passes, DOUBLE-BUFFERED on the flat mega
+        path: pass k+1's device work is dispatched before pass k's
+        pixels are pulled to the host, so delivery (the D2H that
+        dominates interactive latency over slow transports) overlaps
+        the next pass's render — steady-state wall clock per pass
+        approaches max(render, D2H) instead of their sum (the anim.py
+        video-loop delivery, main.cpp:574-582 being improved on).
+        Bitwise-identical to n sequential render_pass calls: dispatch
+        order per pass is unchanged and accumulation happens in pass
+        order, only the host reads move later."""
+        pending = None
+        for k in range(n):
+            bufs = self._dispatch_pass(self.num_passes + (1 if pending else 0))
+            if bufs is None:  # non-flat config: sequential fallback
+                if pending is not None:
+                    self._accumulate(pending)
+                    pending = None
+                self.render_pass()
+                continue
+            if pending is not None:
+                self._accumulate(pending)
+            pending = bufs
+        if pending is not None:
+            self._accumulate(pending)
+        return self.display()
+
     def display(self) -> np.ndarray:
         n = max(self.num_passes, 1)
         return self._acc / n
@@ -227,7 +298,11 @@ def run_terminal(scene: Scene, cfg: RenderConfig,
         )
 
     def render_and_preview(n=1):
-        for _ in range(n):
+        # Multi-pass bursts ('g N') ride the double-buffered path so
+        # pass k+1 renders while pass k's pixels ship to the host.
+        if n > 1:
+            ses.render_passes(n)
+        else:
             ses.render_pass()
         write_bmp(preview_path, ses.display_u8())
         print(f"{status()} -> {preview_path}", file=out, flush=True)
