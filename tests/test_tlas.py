@@ -87,3 +87,48 @@ def test_tlas_quota_and_staged_paths():
     exact = (plain == staged).all(axis=-1)
     assert exact.mean() > 0.98, exact.mean()
     np.testing.assert_allclose(plain, staged, rtol=1e-5, atol=1e-7)
+
+
+def test_material_slot_dedup_and_recolor():
+    """Freeze-time material dedup (mesh_mat_slot): the two-level fetch
+    must agree with the per-mesh chain, and viewer recolor_mesh must
+    re-slot a tinted mesh without leaking the tint to meshes that
+    shared its material."""
+    import jax.numpy as jnp
+
+    from tpurt.render.shading import pack_materials, select_material_soa
+    from tpurt.viewer import recolor_mesh
+
+    scene, cam, cfg = _grid(12)
+    assert scene.mesh_mat_slot and scene.mat_slot_rep
+    assert len(set(scene.mesh_mat_slot)) == len(scene.mat_slot_rep)
+    assert len(scene.mat_slot_rep) < scene.num_meshes  # dedup happened
+
+    mats = pack_materials(scene)
+    idx = jnp.arange(scene.num_meshes, dtype=jnp.int32)
+    via_slots = select_material_soa(
+        mats, scene.num_meshes, idx,
+        mat_slots=(scene.mesh_mat_slot, scene.mat_slot_rep))
+    per_mesh = select_material_soa(mats, scene.num_meshes, idx)
+    for a, b in zip(via_slots, per_mesh):
+        if hasattr(a, "x"):
+            for c in ("x", "y", "z"):
+                np.testing.assert_array_equal(getattr(a, c), getattr(b, c))
+        else:
+            np.testing.assert_array_equal(a, b)
+
+    i = scene.num_meshes - 1
+    shared = [j for j in range(scene.num_meshes)
+              if scene.mesh_mat_slot[j] == scene.mesh_mat_slot[i] and j != i]
+    assert shared  # the grid scene cycles materials: i shares its slot
+    sc = recolor_mesh(scene, i, (1.0, 0.0, 0.0))
+    mats2 = pack_materials(sc)
+    _, _, col, *_ = select_material_soa(
+        mats2, sc.num_meshes, idx,
+        mat_slots=(sc.mesh_mat_slot, sc.mat_slot_rep))
+    col = np.stack([np.asarray(col.x), np.asarray(col.y),
+                    np.asarray(col.z)], -1)
+    np.testing.assert_allclose(col[i], (1.0, 0.0, 0.0))
+    orig = np.asarray(scene.mat_color)
+    for j in shared:
+        np.testing.assert_allclose(col[j], orig[j])

@@ -788,6 +788,8 @@ def _body_math(
     #   in_inst/cur_inst/inst_* fields are live
     static_leaf_owners: tuple = None,  # TLAS: static owner-id set for
     #   the fused static entry's leaf-row aux words
+    mat_slots: tuple = None,  # static (mesh->slot, slot->rep) material
+    #   dedup for the shade fetch (TLAS regime)
     dense_hit=None,  # (t, normal V3, backface, mesh) from the fused
     #   dense sweep — replaces the BVH walk when set (dense mode)
 ) -> _Lane:
@@ -1244,7 +1246,7 @@ def _body_math(
             mats, num_meshes, shade,
             t.w_valid, t.w_point, t.w_normal, t.w_back, t.w_mesh,
             t.origin, t.direction, t.throughput, t.light, t.rng, t.bounces,
-            max_bounces, present=mat_present,
+            max_bounces, present=mat_present, mat_slots=mat_slots,
         )
         invis = t.invis + (shade & res.invisible).astype(jnp.int32)
         continuing = res.continuing & ~(
@@ -1896,11 +1898,20 @@ def run_megakernel(
         # carry real owner ids in their aux words (instance leaves are
         # resolved through the lane's stashed inst_mesh/inst_cull), so
         # the per-slot owner-cull select chain shrinks to the static
-        # members instead of looping all K meshes.
+        # members instead of looping all K meshes (an empty tuple when
+        # there is no static entry — never the gather form, which
+        # Mosaic cannot lower).
         static_leaf_owners=(
-            scene.mega_chain_members[0]
-            if tlas and e_count and scene.mega_chain[0][0] == -1
-            else None
+            (scene.mega_chain_members[0]
+             if e_count and scene.mega_chain[0][0] == -1 else ())
+            if tlas else None
+        ),
+        # Freeze-time material dedup: O(K + 11U) shade fetch. Threaded
+        # only in the TLAS regime so small-K scenes keep their exact
+        # measured program.
+        mat_slots=(
+            (scene.mesh_mat_slot, scene.mat_slot_rep)
+            if tlas and scene.mesh_mat_slot else None
         ),
     )
 
@@ -1915,8 +1926,19 @@ def run_megakernel(
         body_backend = "pallas" if on_tpu else "xla"
     from tpurt.config import SELECT_GATHER_THRESHOLD
 
-    if e_count > SELECT_GATHER_THRESHOLD or num_meshes > SELECT_GATHER_THRESHOLD:
-        # Many-instance regime: parameter fetches are real gathers
+    # TLAS + material-slot scenes keep the Pallas body at any mesh
+    # count the dedup makes viable: the only O(K) chains left are the
+    # single-i32 mesh->slot map (shade) — everything else is O(entries)
+    # or O(unique materials). The 4x bound caps compile growth.
+    slots_ok = (
+        tlas and bool(scene.mesh_mat_slot)
+        and num_meshes <= 4 * SELECT_GATHER_THRESHOLD
+    )
+    if e_count > SELECT_GATHER_THRESHOLD or (
+        num_meshes > SELECT_GATHER_THRESHOLD and not slots_ok
+    ):
+        # Many-instance regime without the TLAS/slot machinery:
+        # parameter fetches are real gathers
         # (_sel/_sel_static/select_material_soa), which Mosaic cannot
         # lower — the loop body runs as XLA ops. Costs ~0.2-0.35 ms of
         # fixed gather latency per fetch site per iteration, but keeps

@@ -81,18 +81,65 @@ def pack_materials(scene: Scene) -> jnp.ndarray:
     )
 
 
-def select_material_soa(mats, num_meshes: int, mesh_idx: jnp.ndarray):
+def select_material_soa(mats, num_meshes: int, mesh_idx: jnp.ndarray,
+                        mat_slots=None):
     """Gather-free material fetch: chain of broadcast selects over the
     static mesh count. ``mats`` is the (K, 11) pack_materials table (a
     jnp array or a Pallas ref slice-reader). Returns per-lane material
     fields (colors as V3); mtype stays f32 (exact small ints).
 
-    Above SELECT_GATHER_THRESHOLD meshes the chain becomes one real
-    gather of the transposed table — (11, R) so every fetched column is
-    a contiguous lane vector (the (R, 11) AoS orientation wastes
-    125/128 VPU lanes). XLA-body only; the megakernel forces that
-    regime (Mosaic cannot lower a dynamic gather)."""
+    ``mat_slots`` — a static (mesh->slot tuple, slot->rep-mesh tuple)
+    pair from freeze-time material DEDUP (Scene.mesh_mat_slot /
+    mat_slot_rep) — switches to a two-level fetch: one O(K) single-i32
+    select chain maps the mesh to its slot, then the 11 field chains
+    run over the U unique materials only (O(K + 11U) ops instead of
+    O(11K)). This is what keeps the Pallas body compiling at large
+    instance counts (the TLAS regime): instanced scenes share a
+    handful of materials across hundreds of meshes.
+
+    Otherwise, above SELECT_GATHER_THRESHOLD meshes the chain becomes
+    one real gather of the transposed table — (11, R) so every fetched
+    column is a contiguous lane vector (the (R, 11) AoS orientation
+    wastes 125/128 VPU lanes). XLA-body only; the megakernel forces
+    that regime (Mosaic cannot lower a dynamic gather)."""
     from tpurt.config import SELECT_GATHER_THRESHOLD
+
+    if mat_slots is not None:
+        slot_map, reps = mat_slots
+        # mesh -> slot (slot 0 is the default: meshes mapping there
+        # need no select).
+        slot = jnp.zeros(mesh_idx.shape, jnp.int32)
+        for i in range(num_meshes):
+            si = int(slot_map[i])
+            if si:
+                slot = jnp.where(mesh_idx == i, si, slot)
+        zeros = jnp.zeros(mesh_idx.shape, jnp.float32)
+        mtype = zeros
+        ior = zeros
+        color = V3(zeros, zeros, zeros)
+        em_color = V3(zeros, zeros, zeros)
+        em_strength = zeros
+        refl = zeros
+        spec = zeros
+        for s, rep in enumerate(reps):
+            m = slot == s
+            i = int(rep)
+            mtype = jnp.where(m, mats[i, MAT_TYPE], mtype)
+            ior = jnp.where(m, mats[i, MAT_IOR], ior)
+            color = V3(
+                jnp.where(m, mats[i, MAT_COLOR], color.x),
+                jnp.where(m, mats[i, MAT_COLOR + 1], color.y),
+                jnp.where(m, mats[i, MAT_COLOR + 2], color.z),
+            )
+            em_color = V3(
+                jnp.where(m, mats[i, MAT_EMC], em_color.x),
+                jnp.where(m, mats[i, MAT_EMC + 1], em_color.y),
+                jnp.where(m, mats[i, MAT_EMC + 2], em_color.z),
+            )
+            em_strength = jnp.where(m, mats[i, MAT_EMS], em_strength)
+            refl = jnp.where(m, mats[i, MAT_REFL], refl)
+            spec = jnp.where(m, mats[i, MAT_SPEC], spec)
+        return mtype, ior, color, em_color, em_strength, refl, spec
 
     if num_meshes > SELECT_GATHER_THRESHOLD:
         rows = mats.T[:, jnp.clip(mesh_idx, 0, num_meshes - 1)]  # (11, R)
@@ -166,6 +213,7 @@ def shade_hit_soa(
     bounces: jnp.ndarray,
     max_bounces: int,
     present: tuple = None,
+    mat_slots=None,
 ) -> ShadeResultSoA:
     """One material interaction for lanes where ``enabled``; all other
     lanes pass through untouched (including their RNG stream).
@@ -186,7 +234,8 @@ def shade_hit_soa(
         return jnp.zeros(like.shape, jnp.int32) != 0
 
     mtype, ior, color, em_color, em_strength, refl, spec_prob = (
-        select_material_soa(mats, num_meshes, jnp.maximum(hit_mesh, 0))
+        select_material_soa(mats, num_meshes, jnp.maximum(hit_mesh, 0),
+                            mat_slots=mat_slots)
     )
 
     a_hit = enabled & hit_valid

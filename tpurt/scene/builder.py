@@ -1020,6 +1020,26 @@ class SceneBuilder:
         )
         assert len(mega_rows) < (1 << 27), "row index exceeds packed meta field"
 
+        # Material dedup (Scene.mesh_mat_slot / mat_slot_rep): slots by
+        # VALUE over the builder materials — instanced scenes share a
+        # handful of materials across many meshes, and the shade-time
+        # select chain then scales with the unique count (see
+        # shading.select_material_soa).
+        mat_key = lambda m: (
+            int(m.type), float(m.ior), tuple(m.color),
+            tuple(m.emission_color), float(m.emission_strength),
+            float(m.reflectiveness), float(m.specular_probability),
+        )
+        slot_of: Dict[tuple, int] = {}
+        mesh_mat_slot: List[int] = []
+        mat_slot_rep: List[int] = []
+        for i, m in enumerate(self.meshes):
+            key = mat_key(m.material)
+            if key not in slot_of:
+                slot_of[key] = len(mat_slot_rep)
+                mat_slot_rep.append(i)
+            mesh_mat_slot.append(slot_of[key])
+
         k = len(self.meshes)
         mesh_root = np.asarray(roots, np.int32)
         mesh_pos = np.asarray([m.pos for m in self.meshes], np.float32).reshape(k, 3)
@@ -1080,6 +1100,8 @@ class SceneBuilder:
             mega_arity=arity,
             mega_tlas=use_tlas,
             mega_tlas_bounds=tlas_bounds,
+            mesh_mat_slot=tuple(mesh_mat_slot),
+            mat_slot_rep=tuple(mat_slot_rep),
             mesh_mat_types=tuple(int(m.material.type) for m in self.meshes),
             mesh_identity=tuple(
                 tuple(np.asarray(m.pos, np.float64).tolist()) == (0.0, 0.0, 0.0)

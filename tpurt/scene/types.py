@@ -201,6 +201,22 @@ class Scene:
     mega_tlas_bounds: Tuple[float, ...] = struct.field(
         pytree_node=False, default=()
     )
+    #: Freeze-time material DEDUP: per-mesh slot index into the unique
+    #: materials (mesh_mat_slot, length K) and each slot's
+    #: REPRESENTATIVE mesh (mat_slot_rep, length U) whose pack_materials
+    #: row carries the slot's values. Lets the shade-time fetch run
+    #: O(K + 11U) selects instead of O(11K) — the piece that keeps the
+    #: Pallas body compiling for many-instance (TLAS) scenes where
+    #: hundreds of meshes share a handful of materials. viewer
+    #: recolor_mesh re-slots a tinted mesh (see its docstring). Empty
+    #: tuples on scenes frozen before this field existed (per-mesh
+    #: fetch, the conservative default).
+    mesh_mat_slot: Tuple[int, ...] = struct.field(
+        pytree_node=False, default=()
+    )
+    mat_slot_rep: Tuple[int, ...] = struct.field(
+        pytree_node=False, default=()
+    )
 
     @property
     def num_triangles(self) -> int:

@@ -63,12 +63,34 @@ def recolor_mesh(scene: Scene, mesh_idx: int,
                  color: Tuple[float, float, float] = (1.0, 0.0, 0.0)) -> Scene:
     """Tint one mesh's material color (the reference pokes the mapped
     mesh buffer to turn the picked mesh red, main.cpp:359-382). Returns
-    a new Scene; the original is untouched (scenes are immutable)."""
+    a new Scene; the original is untouched (scenes are immutable).
+
+    Scenes carrying the freeze-time material dedup (mesh_mat_slot) get
+    the tinted mesh RE-SLOTTED into its own exclusive slot so the new
+    color cannot leak to meshes that shared its material — and if the
+    mesh was a shared slot's representative, the slot's rep moves to
+    another member first. Static-field change => the render retraces
+    (the reference's buffer-refresh cost, main.cpp:352-357)."""
     import jax.numpy as jnp
 
     mat_color = jnp.asarray(scene.mat_color)
     mat_color = mat_color.at[mesh_idx].set(jnp.asarray(color, jnp.float32))
-    return scene.replace(mat_color=mat_color)
+    scene = scene.replace(mat_color=mat_color)
+    if scene.mesh_mat_slot:
+        slots = list(scene.mesh_mat_slot)
+        reps = list(scene.mat_slot_rep)
+        old = slots[mesh_idx]
+        members = [j for j, s in enumerate(slots) if s == old]
+        if len(members) > 1:
+            if reps[old] == mesh_idx:
+                reps[old] = next(j for j in members if j != mesh_idx)
+            slots[mesh_idx] = len(reps)
+            reps.append(mesh_idx)
+        else:
+            reps[old] = mesh_idx
+        scene = scene.replace(mesh_mat_slot=tuple(slots),
+                              mat_slot_rep=tuple(reps))
+    return scene
 
 
 @dataclasses.dataclass
