@@ -554,10 +554,15 @@ def main():
         # (pixels_per_lane=1 was probed for this row — 4 iterations
         # but 2.8 ms each at 307k lanes: 46.7 vs P8's 53.9 Mrays/s —
         # the quota's narrower launch wins even at 1 spp.)
+        # mega_frames_per_batch=4: 4-iteration frames are ALL launch
+        # ramp, packing's natural habitat — measured 100.9 -> 113.4
+        # Mrays/s (probe r75; F8 regresses, P16xF2 loses to the
+        # shallower quota).
         results.append(run_config(
             "parity-640x480-1spp", "sphere",
             RenderConfig(width=640, height=480, rays_per_pixel=1,
-                         max_bounces=1, **common)))
+                         max_bounces=1, mega_frames_per_batch=4,
+                         **common)))
         # Config 2: low-poly brute force, 720p — the speed-of-light dense
         # path (BASELINE config 2). mega_dense: persistent lanes whose
         # per-iteration "traversal" is one fused Plücker MXU sweep
@@ -630,10 +635,15 @@ def main():
     # width), so the PLAIN schedule — one compile — runs first and
     # prints a provisional metric line; the staged run then prints the
     # final line, which supersedes it.
+    # mega_frames_per_batch=2: cross-frame lane packing in the steady
+    # blocks (single-frame latency stays a true single frame). Measured
+    # +1.4-1.9% at this config (probes r71/r72/r76) once the round-5
+    # share_rd collapse made the pack's slot tables one frame's worth;
+    # packF4 exceeds the scoped-VMEM ceiling.
     headline = run_config(
         "bunny-1080p-plain", "bunny",
         RenderConfig(width=1920, height=1080, rays_per_pixel=args.spp,
-                     max_bounces=4, **common),
+                     max_bounces=4, mega_frames_per_batch=2, **common),
         strict=args.strict)
     print(json.dumps({
         "metric": "Mrays/sec/chip bunny-class 1080p BVH path trace",

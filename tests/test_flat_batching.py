@@ -119,3 +119,24 @@ def test_cross_frame_packing_static_camera(monkeypatch):
         np.testing.assert_array_equal(
             packed[f * rows:(f + 1) * rows], np.asarray(single),
             err_msg=f"frame {f}")
+
+
+def test_interleave_schedules_bitwise(monkeypatch):
+    """All gather/body orderings (inline, carry, pair2, gfirst) are
+    bitwise-identical — they move the row DMA's program position, never
+    a lane trajectory (megakernel run_megakernel docstring)."""
+    import tpurt.config as config_mod
+
+    monkeypatch.setattr(config_mod, "MEGA_INTERLEAVE_FLOOR", 128)
+    cfg0 = _cfg(rays_per_batch=512, pixels_per_lane=2,
+                compaction_threshold=0, rays_per_pixel=2, max_bounces=4,
+                mega_interleave=4)
+    scene, cam, _ = default_scene(cfg0)
+    base = render_frame(scene, cam, cfg0)
+    for sched in ("carry", "pair2", "gfirst"):
+        out = render_frame(scene, cam, cfg0.replace(mega_schedule=sched))
+        np.testing.assert_array_equal(base, out, err_msg=sched)
+    # carry at interleave 2 (the other measured point)
+    out = render_frame(scene, cam, cfg0.replace(mega_schedule="carry",
+                                                mega_interleave=2))
+    np.testing.assert_array_equal(base, out)
