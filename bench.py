@@ -89,7 +89,7 @@ def build_scene(kind: str, cfg):
     return scene, cam
 
 
-def time_render_flat(scene, cam, cfg, repeats=2, max_frames=8, strict=False):
+def time_render_flat(scene, cam, cfg, repeats=2, max_frames=32, strict=False):
     """Steady-state multi-frame throughput of the flat megakernel path
     (the render_frame default). Dispatches a block of frames with
     DISTINCT frame_index values (distinct RNG streams — the animation /
@@ -210,7 +210,10 @@ def time_render_flat(scene, cam, cfg, repeats=2, max_frames=8, strict=False):
 
     # Steady-state block: enough frames to amortise the one end sync
     # into the noise (~25 ms tunnel RTT vs a 3 s block), bounded so the
-    # slow ladder rows stay fast. latency_s is the closest available
+    # slow ladder rows stay fast. max_frames=32 (was 8) so FAST rows —
+    # the parity row renders in ~3 ms — get blocks long enough that the
+    # end sync stops dominating; slow rows derive small counts from
+    # their latency anyway. latency_s is the closest available
     # proxy for the steady frame cost (warm_frame includes compiles).
     # Every steady frame DISPATCHES its on-device tonemap (the
     # displayable uint8 frame is produced inside the timed region; only

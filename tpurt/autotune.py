@@ -142,9 +142,14 @@ def sweep(cfg=None, scene_kind: str = "bunny", quick: bool = False,
     import tpurt.config as _c
 
     if cfg is None:
+        # Seed the descent from the SHIPPED v5e config (bench common):
+        # on a new chip the sweep starts in the known optimum's
+        # neighbourhood and explores outward, instead of re-climbing
+        # from the RenderConfig defaults.
         cfg = RenderConfig(width=1920, height=1080, rays_per_pixel=8,
                            max_bounces=4, seed_mode="reference",
-                           compaction_threshold=0)
+                           pixels_per_lane=8, mega_interleave=4,
+                           mega_tail_passes=5, compaction_threshold=0)
     best = {
         "mega_tail_passes": cfg.mega_tail_passes,
         "mega_interleave": cfg.mega_interleave,
