@@ -126,9 +126,12 @@ def time_render_flat(scene, cam, cfg, repeats=2, max_frames=32, strict=False):
     b = _flat_batch_size(cfg) * cfg.pixels_per_lane  # pixels per launch
     n_batches = -(-total // b)
     # Cross-frame packing (steady blocks only; latency stays a true
-    # single frame). Plain schedule + in-lane samples only.
+    # single frame). Eligibility is the shared predicate
+    # (renderer.cross_frame_pack_ok: plain schedule, in-lane samples).
+    from tpurt.render.renderer import cross_frame_pack_ok
+
     pack = max(1, int(getattr(cfg, "mega_frames_per_batch", 1)))
-    if sflat or cfg.compaction_threshold or cfg.max_bounces <= 0:
+    if sflat or not cross_frame_pack_ok(cfg):
         pack = 1
 
     def frame(f, collect=None):

@@ -143,19 +143,14 @@ def render_video(
         # when the hook leaves the scene UNCHANGED for the whole pack
         # (progressive/noise-varying videos; the reference's mesh-yaw
         # hook returns a new scene per frame, so it renders unpacked).
-        # Mirror bench.py's gating: packing runs the PLAIN flat schedule
-        # with in-lane samples only — when the staged/compaction
-        # schedule would engage for this batch size, or under per-sample
-        # jitter (run_megakernel asserts both), fall back to per-frame
-        # dispatch instead of tripping the assertion.
+        # Packing runs the PLAIN flat schedule with in-lane samples
+        # only (renderer.cross_frame_pack_ok, the shared eligibility
+        # predicate): ineligible configs fall back to per-frame
+        # dispatch instead of tripping run_megakernel's assertions.
         pack = max(1, int(getattr(cfg, "mega_frames_per_batch", 1)))
-        from tpurt.render.renderer import _flat_batch_size
+        from tpurt.render.renderer import cross_frame_pack_ok
 
-        if (
-            cfg.subpixel_jitter
-            or (cfg.compaction_threshold
-                and _flat_batch_size(cfg) >= cfg.compaction_threshold)
-        ):
+        if not cross_frame_pack_ok(cfg):
             pack = 1
         f = 0
         while f < n:

@@ -121,15 +121,15 @@ def hsv2rgb(h: jnp.ndarray, s: jnp.ndarray, v: jnp.ndarray):
     s = jnp.asarray(s, jnp.float32)
     v = jnp.asarray(v, jnp.float32)
     hh = jnp.where(h >= 360.0, 0.0, h) / 60.0
-    i = jnp.floor(hh)
+    # C's ``(long)hh`` truncates toward zero (math.hpp:33); sectors
+    # outside 0..4 — including negative h — take the switch's default
+    # arm (case 5), which jnp.select's default reproduces below.
+    i = jnp.trunc(hh)
     ff = hh - i
     p = v * (1.0 - s)
     q = v * (1.0 - s * ff)
     t = v * (1.0 - s * (1.0 - ff))
     sector = i.astype(jnp.int32)
-    # Sector table, rows = sectors 0..5 (the reference's switch; any
-    # value past 5 takes the default arm, i.e. row 5).
-    sector = jnp.clip(sector, 0, 5)
     r = jnp.select(
         [sector == 0, sector == 1, sector == 2, sector == 3, sector == 4],
         [v, q, p, p, t], default=v)

@@ -1550,6 +1550,22 @@ def _body_math(
     return t
 
 
+def _slots_ok(scene: Scene, tlas: bool, e_count: int,
+              num_meshes: int) -> bool:
+    """TLAS + material-slot scenes keep the Pallas body at any mesh
+    count the dedup makes viable: the only O(K) chain left is the
+    single-i32 mesh->slot map in the shade fetch — everything else is
+    O(entries) or O(unique materials). The 4x bound caps compile
+    growth; past it the XLA body's transposed-gather fetch wins and
+    the slots are NOT threaded (run_megakernel body_kw)."""
+    from tpurt.config import SELECT_GATHER_THRESHOLD
+
+    return (
+        tlas and bool(scene.mesh_mat_slot)
+        and num_meshes <= 4 * SELECT_GATHER_THRESHOLD
+    )
+
+
 def run_megakernel(
     scene: Scene,
     ro0,  # (R, 3) primary origins (or V3)
@@ -1907,11 +1923,13 @@ def run_megakernel(
             if tlas else None
         ),
         # Freeze-time material dedup: O(K + 11U) shade fetch. Threaded
-        # only in the TLAS regime so small-K scenes keep their exact
-        # measured program.
+        # only where the slot regime is the winner (see _slots_ok
+        # below): small-K scenes keep their exact measured program, and
+        # the huge-K XLA fallback keeps its single transposed gather
+        # (an O(K) mesh->slot select chain would replace it otherwise).
         mat_slots=(
             (scene.mesh_mat_slot, scene.mat_slot_rep)
-            if tlas and scene.mesh_mat_slot else None
+            if _slots_ok(scene, tlas, e_count, num_meshes) else None
         ),
     )
 
@@ -1926,16 +1944,9 @@ def run_megakernel(
         body_backend = "pallas" if on_tpu else "xla"
     from tpurt.config import SELECT_GATHER_THRESHOLD
 
-    # TLAS + material-slot scenes keep the Pallas body at any mesh
-    # count the dedup makes viable: the only O(K) chains left are the
-    # single-i32 mesh->slot map (shade) — everything else is O(entries)
-    # or O(unique materials). The 4x bound caps compile growth.
-    slots_ok = (
-        tlas and bool(scene.mesh_mat_slot)
-        and num_meshes <= 4 * SELECT_GATHER_THRESHOLD
-    )
     if e_count > SELECT_GATHER_THRESHOLD or (
-        num_meshes > SELECT_GATHER_THRESHOLD and not slots_ok
+        num_meshes > SELECT_GATHER_THRESHOLD
+        and not _slots_ok(scene, tlas, e_count, num_meshes)
     ):
         # Many-instance regime without the TLAS/slot machinery:
         # parameter fetches are real gathers

@@ -1025,6 +1025,24 @@ def _mega_flat_multi(scene, cameras, coords, *, batch, pixels_per_lane=1,
     return mean, segs, iters
 
 
+def cross_frame_pack_ok(cfg: RenderConfig) -> bool:
+    """Single source of truth for cross-frame packing eligibility
+    (bench steady blocks, anim video packs, and the assertion in
+    render_batch_flat_frames all consult this): packing runs the PLAIN
+    flat megakernel schedule with in-lane samples only — no per-sample
+    jitter, no staged/compaction driver engaging at this batch size,
+    and a live bounce loop."""
+    return (
+        cfg.max_bounces > 0
+        and not cfg.subpixel_jitter
+        and not (cfg.sample_flatten and cfg.rays_per_pixel > 1)
+        and not (
+            cfg.compaction_threshold
+            and _flat_batch_size(cfg) >= cfg.compaction_threshold
+        )
+    )
+
+
 def render_batch_flat_frames(
     scene: Scene,
     cameras,
@@ -1051,11 +1069,10 @@ def render_batch_flat_frames(
         m, s, it = render_batch_flat(scene, cameras[0], cfg, start,
                                      frame_index, sample_offset)
         return m, s, it
-    assert not (
-        cfg.compaction_threshold
-        and _flat_batch_size(cfg) >= cfg.compaction_threshold
-        and cfg.max_bounces > 0
-    ), "cross-frame packing runs the plain flat schedule only"
+    assert cfg.max_bounces <= 0 or cross_frame_pack_ok(cfg), (
+        "cross-frame packing runs the plain flat schedule only "
+        "(see cross_frame_pack_ok)"
+    )
     # Caller contract (NOT checked here — a device read per call would
     # bill a ~25 ms tunnel RTT to every timed pack): cameras share one
     # position. bench/anim construct packed cameras rotation-only.

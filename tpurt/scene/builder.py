@@ -360,7 +360,16 @@ MEGA_ITAG = 1 << 28
 def _euler_np(pitch: float, yaw: float, roll: float) -> np.ndarray:
     """float32 XYZ-Euler rotation bit-matching vecmath.euler_rotation
     (same expressions and association order, numpy f32 instead of
-    traced jnp — freeze-time twin for baked instance rows)."""
+    traced jnp — freeze-time twin for baked instance rows).
+
+    Backend caveat: "bit-matching" holds where the backend's f32
+    cos/sin agree with numpy's (true on the CPU backend, where the
+    TLAS-vs-unrolled bitwise tests run). An accelerator whose
+    transcendentals round differently can put the BAKED rotation a ulp
+    off the TRACED one — each regime stays self-consistent (a scene is
+    either TLAS or unrolled, never both), so this only means the two
+    regimes' outputs may differ in the last ulp on such backends, not
+    that either is wrong."""
     p = np.float32(pitch)
     y = np.float32(yaw)
     r = np.float32(roll)

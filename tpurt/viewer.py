@@ -251,15 +251,28 @@ class ViewerSession:
 
     def _accumulate(self, bufs) -> None:
         """Materialise a dispatched pass into the integration buffer
-        (the host read the double-buffered loop defers)."""
+        (the host read the double-buffered loop defers). A TRANSIENT
+        device/transport failure re-renders the same pass index through
+        the sequential path (render_frame's retry policy) — idempotent:
+        the accumulator is only touched once the whole pass
+        materialised."""
+        from tpurt.render.renderer import _TRANSIENT_ERRORS
+
         total = self.cfg.width * self.cfg.height
         flat = np.zeros((total, 3), np.float32)
         start = 0
-        for t in bufs:
-            t_np = np.asarray(t)
-            n = min(t_np.shape[0], total - start)
-            flat[start : start + n] = t_np[:n]
-            start += n
+        try:
+            for t in bufs:
+                t_np = np.asarray(t)
+                n = min(t_np.shape[0], total - start)
+                flat[start : start + n] = t_np[:n]
+                start += n
+        except _TRANSIENT_ERRORS:
+            # The dispatched buffers died with the device context;
+            # re-render this pass index from scratch (render_pass owns
+            # its own retries via render_frame).
+            self.render_pass()
+            return
         self._acc += flat.reshape(self.cfg.height, self.cfg.width, 3)
         self.num_passes += 1
 
