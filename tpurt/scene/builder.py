@@ -129,6 +129,79 @@ MEGA_SLOT_BITS = 6
 MEGA_STATIC_MAX_TRIS = 64
 
 
+
+def _pack_child_slots(row, kids, bounds_fmt: str, arity: int, lo, hi):
+    """Write one node row's child-slot words — THE shared packer for
+    both bank emitters (_emit_mega_subtree.emit_node and _emit_tlas),
+    so the conservativeness invariant the kernel's slab test depends on
+    (decoded lo <= true lo, decoded hi >= true hi; empty slots are
+    self-missing boxes with meta 0) lives in exactly one place.
+
+    ``kids``: [(meta_i32, lo64 (3,), hi64 (3,))] already slot-sorted
+    along the node's recorded axis; ``lo``/``hi``: the node's f64
+    bounds (the u8 quantisation grid). u8 format also writes the grid
+    to row[0:3]/row[3:6]; bf16 writes absolute conservative bounds per
+    slot (_bf16_dir)."""
+    i32f = lambda v: np.array(v, np.int32).view(np.float32)
+    if bounds_fmt == "bf16":
+        u16f = lambda a, b: np.array(
+            np.uint32(a) | (np.uint32(b) << np.uint32(16)), np.uint32
+        ).view(np.float32)
+        for s_idx, (meta, clo, chi) in enumerate(kids):
+            lo16 = _bf16_dir(clo.astype(np.float32), up=False)
+            hi16 = _bf16_dir(chi.astype(np.float32), up=True)
+            base = 7 + 4 * s_idx
+            row[base] = u16f(lo16[0], lo16[1])
+            row[base + 1] = u16f(lo16[2], hi16[0])
+            row[base + 2] = u16f(hi16[1], hi16[2])
+            row[base + 3] = i32f(meta)
+        big, neg = np.uint16(0x7F7F), np.uint16(0xFF7F)
+        for s_idx in range(len(kids), arity):
+            base = 7 + 4 * s_idx
+            # empty slot: lo = +MAX > hi = -MAX never hits; meta 0
+            row[base] = u16f(big, big)
+            row[base + 1] = u16f(big, neg)
+            row[base + 2] = u16f(neg, neg)
+            row[base + 3] = 0.0
+        return
+
+    scale = (hi - lo) / 255.0
+    origin32 = lo.astype(np.float32)
+    scale32 = np.where(scale > 0, scale, 0.0).astype(np.float32)
+    row[0:3] = origin32
+    row[3:6] = scale32
+    safe = np.where(scale32 > 0, scale32.astype(np.float64), 1.0)
+    dec = lambda q: origin32.astype(np.float64) + q * scale32.astype(
+        np.float64
+    )
+    for s_idx, (meta, clo, chi) in enumerate(kids):
+        # conservative u8 quantisation on this node's grid, refined
+        # against float32 decode rounding
+        ql = np.clip(np.floor((clo - origin32) / safe), 0, 255)
+        qh = np.clip(np.ceil((chi - origin32) / safe), 0, 255)
+        for _ in range(3):
+            ql = np.where(dec(ql) > clo, np.maximum(ql - 1, 0), ql)
+            qh = np.where(
+                (dec(qh) < chi) & (scale32 > 0), np.minimum(qh + 1, 255), qh
+            )
+        ql = ql.astype(np.uint32)
+        qh = qh.astype(np.uint32)
+        w0 = ql[0] | (ql[1] << 8) | (ql[2] << 16) | (qh[0] << 24)
+        w1 = qh[1] | (qh[2] << 8)
+        base = 7 + 3 * s_idx
+        row[base] = np.array(w0, np.uint32).view(np.float32)
+        row[base + 1] = np.array(w1, np.uint32).view(np.float32)
+        row[base + 2] = i32f(meta)
+    for s_idx in range(len(kids), arity):
+        base = 7 + 3 * s_idx
+        # empty slot: qlo=255 > qhi=0 never hits; meta 0
+        row[base] = np.array(
+            np.uint32(255 | (255 << 8) | (255 << 16)), np.uint32
+        ).view(np.float32)
+        row[base + 1] = 0.0
+        row[base + 2] = 0.0
+
+
 def _emit_mega_subtree(rows, nodes, root, tri_pos, tri_nrm, tri_mesh,
                        bounds_fmt: str = "u8", leaf_tris: int = None,
                        row_width: int = None, arity: int = None):
@@ -267,72 +340,17 @@ def _emit_mega_subtree(rows, nodes, root, tri_pos, tri_nrm, tri_mesh,
         slots.sort(key=lambda j: float(bmin[j][axis] + bmax[j][axis]))
         row[6] = np.array(axis, np.int32).view(np.float32)
 
-        if bounds_fmt == "bf16":
-            u16f = lambda a, b: np.array(
-                np.uint32(a) | (np.uint32(b) << np.uint32(16)), np.uint32
-            ).view(np.float32)
-            depth = 0
-            for s_idx, j in enumerate(slots):
-                target, is_leaf, d = emit_node(j)
-                depth = max(depth, d)
-                lo16 = _bf16_dir(np.asarray(bmin[j], np.float32), up=False)
-                hi16 = _bf16_dir(np.asarray(bmax[j], np.float32), up=True)
-                base = 7 + 4 * s_idx
-                row[base] = u16f(lo16[0], lo16[1])
-                row[base + 1] = u16f(lo16[2], hi16[0])
-                row[base + 2] = u16f(hi16[1], hi16[2])
-                row[base + 3] = i32f((target << 1) | (1 if is_leaf else 0))
-            big, neg = np.uint16(0x7F7F), np.uint16(0xFF7F)
-            for s_idx in range(len(slots), arity):
-                base = 7 + 4 * s_idx
-                # empty slot: lo = +MAX > hi = -MAX never hits; meta 0
-                row[base] = u16f(big, big)
-                row[base + 1] = u16f(big, neg)
-                row[base + 2] = u16f(neg, neg)
-                row[base + 3] = 0.0
-            rows[my] = row
-            return my, False, depth + 1
-
-        scale = (hi - lo) / 255.0
-        origin32 = lo.astype(np.float32)
-        scale32 = np.where(scale > 0, scale, 0.0).astype(np.float32)
-        row[0:3] = origin32
-        row[3:6] = scale32
-
+        kids = []
         depth = 0
-        for s_idx, j in enumerate(slots):
+        for j in slots:
             target, is_leaf, d = emit_node(j)
             depth = max(depth, d)
-            # conservative u8 quantisation on this node's grid
-            l64 = np.asarray(bmin[j], np.float64)
-            h64 = np.asarray(bmax[j], np.float64)
-            safe = np.where(scale32 > 0, scale32.astype(np.float64), 1.0)
-            ql = np.clip(np.floor((l64 - origin32) / safe), 0, 255)
-            qh = np.clip(np.ceil((h64 - origin32) / safe), 0, 255)
-            dec = lambda q: origin32.astype(np.float64) + q * scale32.astype(
-                np.float64
-            )
-            for _ in range(3):
-                ql = np.where(dec(ql) > l64, np.maximum(ql - 1, 0), ql)
-                qh = np.where(
-                    (dec(qh) < h64) & (scale32 > 0), np.minimum(qh + 1, 255), qh
-                )
-            ql = ql.astype(np.uint32)
-            qh = qh.astype(np.uint32)
-            w0 = ql[0] | (ql[1] << 8) | (ql[2] << 16) | (qh[0] << 24)
-            w1 = qh[1] | (qh[2] << 8)
-            base = 7 + 3 * s_idx
-            row[base] = np.array(w0, np.uint32).view(np.float32)
-            row[base + 1] = np.array(w1, np.uint32).view(np.float32)
-            row[base + 2] = i32f((target << 1) | (1 if is_leaf else 0))
-        for s_idx in range(len(slots), arity):
-            base = 7 + 3 * s_idx
-            # empty slot: qlo=255 > qhi=0 never hits; meta 0
-            row[base] = np.array(
-                np.uint32(255 | (255 << 8) | (255 << 16)), np.uint32
-            ).view(np.float32)
-            row[base + 1] = 0.0
-            row[base + 2] = 0.0
+            kids.append((
+                (target << 1) | (1 if is_leaf else 0),
+                np.asarray(bmin[j], np.float64),
+                np.asarray(bmax[j], np.float64),
+            ))
+        _pack_child_slots(row, kids, bounds_fmt, arity, lo, hi)
         rows[my] = row
         return my, False, depth + 1
 
@@ -429,59 +447,7 @@ def _emit_tlas(rows, entries, bounds_fmt: str, row_width: int, arity: int):
         # slot order: by centroid along the recorded axis (emit_node's
         # contract with the kernel's priority machinery)
         kids.sort(key=lambda k: float(k[1][axis] + k[2][axis]))
-        if bounds_fmt == "bf16":
-            u16f = lambda a, b: np.array(
-                np.uint32(a) | (np.uint32(b) << np.uint32(16)), np.uint32
-            ).view(np.float32)
-            for s_idx, (meta, clo, chi) in enumerate(kids):
-                lo16 = _bf16_dir(clo.astype(np.float32), up=False)
-                hi16 = _bf16_dir(chi.astype(np.float32), up=True)
-                base = 7 + 4 * s_idx
-                row[base] = u16f(lo16[0], lo16[1])
-                row[base + 1] = u16f(lo16[2], hi16[0])
-                row[base + 2] = u16f(hi16[1], hi16[2])
-                row[base + 3] = i32f(meta)
-            big, neg = np.uint16(0x7F7F), np.uint16(0xFF7F)
-            for s_idx in range(len(kids), arity):
-                base = 7 + 4 * s_idx
-                row[base] = u16f(big, big)
-                row[base + 1] = u16f(big, neg)
-                row[base + 2] = u16f(neg, neg)
-                row[base + 3] = 0.0
-        else:
-            scale = (hi - lo) / 255.0
-            origin32 = lo.astype(np.float32)
-            scale32 = np.where(scale > 0, scale, 0.0).astype(np.float32)
-            row[0:3] = origin32
-            row[3:6] = scale32
-            safe = np.where(scale32 > 0, scale32.astype(np.float64), 1.0)
-            dec = lambda q: origin32.astype(np.float64) + q * scale32.astype(
-                np.float64
-            )
-            for s_idx, (meta, clo, chi) in enumerate(kids):
-                ql = np.clip(np.floor((clo - origin32) / safe), 0, 255)
-                qh = np.clip(np.ceil((chi - origin32) / safe), 0, 255)
-                for _ in range(3):
-                    ql = np.where(dec(ql) > clo, np.maximum(ql - 1, 0), ql)
-                    qh = np.where(
-                        (dec(qh) < chi) & (scale32 > 0),
-                        np.minimum(qh + 1, 255), qh,
-                    )
-                ql = ql.astype(np.uint32)
-                qh = qh.astype(np.uint32)
-                w0 = ql[0] | (ql[1] << 8) | (ql[2] << 16) | (qh[0] << 24)
-                w1 = qh[1] | (qh[2] << 8)
-                base = 7 + 3 * s_idx
-                row[base] = np.array(w0, np.uint32).view(np.float32)
-                row[base + 1] = np.array(w1, np.uint32).view(np.float32)
-                row[base + 2] = i32f(meta)
-            for s_idx in range(len(kids), arity):
-                base = 7 + 3 * s_idx
-                row[base] = np.array(
-                    np.uint32(255 | (255 << 8) | (255 << 16)), np.uint32
-                ).view(np.float32)
-                row[base + 1] = 0.0
-                row[base + 2] = 0.0
+        _pack_child_slots(row, kids, bounds_fmt, arity, lo, hi)
         rows[my] = row
         return my, False, lo, hi, depth + 1
 
