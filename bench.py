@@ -645,12 +645,24 @@ def main():
     # blocks (single-frame latency stays a true single frame). Measured
     # +1.4-1.9% at this config (probes r71/r72/r76) once the round-5
     # share_rd collapse made the pack's slot tables one frame's worth;
-    # packF4 exceeds the scoped-VMEM ceiling.
-    headline = run_config(
-        "bunny-1080p-plain", "bunny",
-        RenderConfig(width=1920, height=1080, rays_per_pixel=args.spp,
-                     max_bounces=4, mega_frames_per_batch=2, **common),
-        strict=args.strict)
+    # packF4 exceeds the scoped-VMEM ceiling. If a TUNED knob set makes
+    # the packed body exceed the ceiling (the tuner sweeps packed
+    # precisely to avoid this, but an old cache may predate that), fall
+    # back to the unpacked headline rather than failing the bench.
+    try:
+        headline = run_config(
+            "bunny-1080p-plain", "bunny",
+            RenderConfig(width=1920, height=1080, rays_per_pixel=args.spp,
+                         max_bounces=4, mega_frames_per_batch=2, **common),
+            strict=args.strict)
+    except Exception as e:
+        log(f"packed headline failed ({str(e)[:160]}) — "
+            "falling back to unpacked")
+        headline = run_config(
+            "bunny-1080p-plain", "bunny",
+            RenderConfig(width=1920, height=1080, rays_per_pixel=args.spp,
+                         max_bounces=4, **common),
+            strict=args.strict)
     print(json.dumps({
         "metric": "Mrays/sec/chip bunny-class 1080p BVH path trace",
         "value": round(headline["mrays"], 2),

@@ -145,11 +145,17 @@ def sweep(cfg=None, scene_kind: str = "bunny", quick: bool = False,
         # Seed the descent from the SHIPPED v5e config (bench common):
         # on a new chip the sweep starts in the known optimum's
         # neighbourhood and explores outward, instead of re-climbing
-        # from the RenderConfig defaults.
+        # from the RenderConfig defaults. mega_frames_per_batch=2
+        # because that is the workload bench SHIPS for the headline —
+        # sweeping unpacked once selected a leaf4/W80 bank that OOM'd
+        # the scoped-VMEM ceiling the moment bench added the pack's 16
+        # quota slots (measured on v5e); the tuner must price knobs
+        # under the slot pressure they will actually run with.
         cfg = RenderConfig(width=1920, height=1080, rays_per_pixel=8,
                            max_bounces=4, seed_mode="reference",
                            pixels_per_lane=8, mega_interleave=4,
-                           mega_tail_passes=5, compaction_threshold=0)
+                           mega_tail_passes=5, compaction_threshold=0,
+                           mega_frames_per_batch=2)
     best = {
         "mega_tail_passes": cfg.mega_tail_passes,
         "mega_interleave": cfg.mega_interleave,
